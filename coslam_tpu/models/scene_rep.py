@@ -1,0 +1,266 @@
+"""Joint scene representation: hash-grid + coordinate encoding -> SDF/color.
+
+Functional JAX port of the reference's JointEncoding nn.Module
+(reference: model/scene_rep.py:10-351). The class holds only *static*
+configuration (resolutions, encoder specs, loss weights); all learnable
+state is an explicit parameter pytree, and every method is a pure
+function of (params, inputs[, key]) — directly jit/grad/vmap-able and
+shardable with jax.sharding.
+
+Coordinates are normalized to the unit cube of the scene bounding box
+before encoding (tcnn convention, reference model/scene_rep.py:185-186).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import encodings as enc
+from ..ops import losses as L
+from ..ops import render as R
+from .decoder import ColorSDFDecoder
+
+
+class JointEncoding:
+    def __init__(self, config: Dict, bound_box: np.ndarray):
+        """config: full Co-SLAM config dict; bound_box: [3, 2] metric bounds."""
+        self.config = config
+        self.bounding_box = np.asarray(bound_box, dtype=np.float32)
+        self._get_resolution()
+        self._build_encoders(config)
+        self._build_decoder(config)
+
+    # -- static setup -------------------------------------------------------
+
+    def _get_resolution(self):
+        """Voxel size -> grid resolution (reference model/scene_rep.py:23-38)."""
+        dim_max = float((self.bounding_box[:, 1] - self.bounding_box[:, 0]).max())
+        vs = self.config["grid"]["voxel_sdf"]
+        self.resolution_sdf = int(vs) if vs > 10 else int(dim_max / vs)
+        vc = self.config["grid"]["voxel_color"]
+        self.resolution_color = int(vc) if vc > 10 else int(dim_max / vc)
+
+    def _build_encoders(self, config: Dict):
+        # Coordinate encoding (OneBlob by default).
+        (self._pos_init, self._pos_apply, self.input_ch_pos, _
+         ) = enc.make_encoder(config["pos"]["enc"], n_bins=config["pos"]["n_bins"])
+
+        # Sparse parametric encoding (SDF grid).
+        (self._grid_init, self._grid_apply, self.input_ch, self.grid_spec
+         ) = enc.make_encoder(config["grid"]["enc"],
+                              log2_hashmap_size=config["grid"]["hash_size"],
+                              desired_resolution=self.resolution_sdf)
+
+        self.one_grid = bool(config["grid"]["oneGrid"])
+        if not self.one_grid:
+            (self._cgrid_init, self._cgrid_apply, self.input_ch_color,
+             self.color_grid_spec) = enc.make_encoder(
+                config["grid"]["enc"],
+                log2_hashmap_size=config["grid"]["hash_size"],
+                desired_resolution=self.resolution_color)
+        else:
+            self.input_ch_color = 0
+
+    def _build_decoder(self, config: Dict):
+        self.decoder = ColorSDFDecoder(
+            config, input_ch=self.input_ch, input_ch_pos=self.input_ch_pos,
+            input_ch_color=self.input_ch_color, one_grid=self.one_grid)
+
+    def init_params(self, key) -> Dict:
+        k1, k2, k3 = jax.random.split(key, 3)
+        params = {"grid": self._grid_init(k1),
+                  "decoder": self.decoder.init(k2)}
+        if not self.one_grid:
+            params["grid_color"] = self._cgrid_init(k3)
+        return params
+
+    # -- coordinate helpers --------------------------------------------------
+
+    def normalize_coords(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Metric coords -> [0,1] unit cube of the scene bounds."""
+        lo = jnp.asarray(self.bounding_box[:, 0])
+        hi = jnp.asarray(self.bounding_box[:, 1])
+        return (x - lo) / (hi - lo)
+
+    # -- queries (x already normalized to [0,1], like the tcnn path) ---------
+
+    def query_color_sdf(self, params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+        """[N, 3] normalized -> raw [N, 4] = [rgb logits, sdf]
+        (reference model/scene_rep.py:155-171)."""
+        embed = self._grid_apply(params["grid"], x)
+        embed_pos = self._pos_apply(None, x)
+        if not self.one_grid:
+            embed_color = self._cgrid_apply(params["grid_color"], x)
+            return self.decoder(params["decoder"], embed, embed_pos, embed_color)
+        return self.decoder(params["decoder"], embed, embed_pos)
+
+    def query_sdf(self, params: Dict, x: jnp.ndarray, return_geo: bool = False,
+                  embed: bool = False):
+        """SDF (and optionally geo features / raw hash embedding) at x
+        (reference model/scene_rep.py:126-150). x: [..., 3] normalized."""
+        flat = x.reshape(-1, 3)
+        embedded = self._grid_apply(params["grid"], flat)
+        if embed:
+            return embedded.reshape(x.shape[:-1] + (embedded.shape[-1],))
+        embedded_pos = self._pos_apply(None, flat)
+        out = self.decoder.sdf_net(
+            params["decoder"], jnp.concatenate([embedded, embedded_pos], axis=-1))
+        sdf = out[..., 0].reshape(x.shape[:-1])
+        if not return_geo:
+            return sdf
+        geo = out[..., 1:].reshape(x.shape[:-1] + (out.shape[-1] - 1,))
+        return sdf, geo
+
+    def query_color(self, params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+        """RGB in [0,1] at normalized points x [..., 3]."""
+        flat = x.reshape(-1, 3)
+        rgb = jax.nn.sigmoid(self.query_color_sdf(params, flat)[..., :3])
+        return rgb.reshape(x.shape[:-1] + (3,))
+
+    def run_network(self, params: Dict, pts: jnp.ndarray) -> jnp.ndarray:
+        """Metric points [N_rays, N_samples, 3] -> raw [N_rays, N_samples, 4].
+
+        Normalizes to the unit cube first (reference
+        model/scene_rep.py:173-191). No host-side chunking: XLA tiles it.
+        """
+        flat = pts.reshape(-1, 3)
+        flat = self.normalize_coords(flat)
+        raw = self.query_color_sdf(params, flat)
+        return raw.reshape(pts.shape[:-1] + (raw.shape[-1],))
+
+    # -- rendering ------------------------------------------------------------
+
+    def render_surface_color(self, params: Dict, rays_o: jnp.ndarray,
+                             normal: jnp.ndarray) -> jnp.ndarray:
+        """Render color along vertex normals (reference
+        model/scene_rep.py:193-209). rays_o: [N, 3], normal: [N, 3]."""
+        tr = self.config["training"]
+        n_rays = rays_o.shape[0]
+        z_vals = jnp.linspace(-tr["trunc"], tr["trunc"], tr["n_range_d"])
+        z_vals = jnp.broadcast_to(z_vals[None, :], (n_rays, tr["n_range_d"]))
+        pts = rays_o[..., None, :] + normal[..., None, :] * z_vals[..., :, None]
+        raw = self.run_network(params, pts)
+        rgb, *_ = R.raw2outputs(raw, z_vals, tr["trunc"],
+                                self.config["data"]["sc_factor"],
+                                tr["white_bkgd"])
+        return rgb
+
+    def render_rays(self, params: Dict, key, rays_o: jnp.ndarray,
+                    rays_d: jnp.ndarray, target_d: Optional[jnp.ndarray] = None
+                    ) -> Dict:
+        """Volume render a batch of rays (reference model/scene_rep.py:211-295).
+
+        rays_o/rays_d: [N, 3]; target_d: [N, 1] or None. Returns the same
+        ret dict keys as the reference ('rgb', 'depth', 'disp_map',
+        'acc_map', 'depth_var', 'z_vals', 'raw', + coarse '...0' keys and
+        'z_std' when importance sampling is on).
+        """
+        tr = self.config["training"]
+        cam = self.config["cam"]
+        n_rays = rays_o.shape[0]
+        k_pert, k_imp = jax.random.split(key)
+
+        z_vals = R.stratified_z_vals(
+            k_pert, n_rays, target_d, cam["near"], cam["far"],
+            tr["range_d"], tr["n_range_d"],
+            tr["n_samples_d"] if target_d is not None else tr.get("n_samples", tr["n_samples_d"]),
+            perturb=tr["perturb"] > 0)
+
+        pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
+        raw = self.run_network(params, pts)
+        rgb_map, disp_map, acc_map, weights, depth_map, depth_var = R.raw2outputs(
+            raw, z_vals, tr["trunc"], self.config["data"]["sc_factor"],
+            tr["white_bkgd"])
+
+        ret = {}
+        if tr["n_importance"] > 0:
+            ret.update(rgb0=rgb_map, disp0=disp_map, acc0=acc_map,
+                       depth0=depth_map, depth_var0=depth_var)
+            z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+            z_samples = R.sample_pdf(k_imp, z_mid, weights[..., 1:-1],
+                                     tr["n_importance"], det=(tr["perturb"] == 0.0))
+            z_samples = jax.lax.stop_gradient(z_samples)
+            ret["z_std"] = jnp.std(z_samples, axis=-1)
+
+            z_vals = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
+            pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
+            raw = self.run_network(params, pts)
+            rgb_map, disp_map, acc_map, weights, depth_map, depth_var = R.raw2outputs(
+                raw, z_vals, tr["trunc"], self.config["data"]["sc_factor"],
+                tr["white_bkgd"])
+
+        ret.update(rgb=rgb_map, depth=depth_map, disp_map=disp_map,
+                   acc_map=acc_map, depth_var=depth_var, z_vals=z_vals, raw=raw)
+        return ret
+
+    def forward(self, params: Dict, key, rays_o: jnp.ndarray,
+                rays_d: jnp.ndarray, target_rgb: jnp.ndarray,
+                target_d: jnp.ndarray, ray_mask: Optional[jnp.ndarray] = None
+                ) -> Dict:
+        """Render + per-term losses (reference model/scene_rep.py:297-351).
+
+        ray_mask: optional [N] validity mask for padded fixed-shape
+        batches; masked rays contribute to no loss term.
+        """
+        tr = self.config["training"]
+        rend = self.render_rays(params, key, rays_o, rays_d, target_d=target_d)
+
+        td = target_d[..., 0]
+        valid_depth = (td > 0.0) & (td < self.config["cam"]["depth_trunc"])
+        valid_depth = valid_depth.astype(jnp.float32)
+        if ray_mask is not None:
+            rm = ray_mask.astype(jnp.float32)
+        else:
+            rm = jnp.ones_like(valid_depth)
+
+        # rgb_weight multiplies pred and target inside the MSE
+        # (reference model/scene_rep.py:319-326): invalid-depth pixels get
+        # down-weighted by 'rgb_missing'.
+        rgb_w = jnp.where(valid_depth > 0, 1.0, tr["rgb_missing"])[:, None]
+        rgb_loss = L.compute_loss(rend["rgb"] * rgb_w, target_rgb * rgb_w,
+                                  mask=rm[:, None])
+        psnr = L.mse2psnr(rgb_loss)
+        depth_loss = L.compute_loss(rend["depth"], td, mask=valid_depth * rm)
+
+        if "rgb0" in rend:
+            rgb_loss = rgb_loss + L.compute_loss(rend["rgb0"] * rgb_w,
+                                                 target_rgb * rgb_w,
+                                                 mask=rm[:, None])
+            depth_loss = depth_loss + L.compute_loss(rend["depth0"], td,
+                                                     mask=valid_depth * rm)
+
+        truncation = tr["trunc"] * self.config["data"]["sc_factor"]
+        fs_loss, sdf_loss = L.get_sdf_loss(
+            rend["z_vals"], target_d, rend["raw"][..., -1], truncation,
+            "l2", ray_mask=rm)
+
+        return {"rgb": rend["rgb"], "depth": rend["depth"],
+                "rgb_loss": rgb_loss, "depth_loss": depth_loss,
+                "sdf_loss": sdf_loss, "fs_loss": fs_loss, "psnr": psnr}
+
+    # -- smoothness regularizer ----------------------------------------------
+
+    def smoothness(self, params: Dict, key, sample_points: int = 256,
+                   voxel_size: float = 0.1, margin: float = 0.05) -> jnp.ndarray:
+        """TV regularizer on hash features over a jittered dense grid
+        (reference coslam.py:251-274)."""
+        lo = jnp.asarray(self.bounding_box[:, 0])
+        hi = jnp.asarray(self.bounding_box[:, 1])
+        grid_size = (sample_points - 1) * voxel_size
+        offset_max = hi - lo - grid_size - 2 * margin
+
+        k1, k2 = jax.random.split(key)
+        offset = jax.random.uniform(k1, (3,)) * offset_max + margin
+        g = sample_points - 1
+        ax = jnp.arange(g, dtype=jnp.float32)
+        coords = jnp.stack(jnp.meshgrid(ax, ax, ax, indexing="ij"), axis=-1)
+        jitter = jax.random.uniform(k2, (1, 1, 1, 3))
+        pts = (coords + jitter) * voxel_size + lo + offset
+
+        pts_norm = (pts - lo) / (hi - lo)
+        emb = self.query_sdf(params, pts_norm, embed=True)
+        return L.smoothness_tv(emb, sample_points)

@@ -1,0 +1,295 @@
+"""Input encodings: multiresolution hash grid, dense grid, OneBlob,
+frequency, spherical harmonics, identity.
+
+TPU-native replacement for the CUDA tiny-cuda-nn encoders the reference
+uses (reference: model/encodings.py:6-97). The hash grid follows the
+Instant-NGP scheme: L levels of growing resolution; coarse levels whose
+full grids fit in the table budget are stored densely (exact, collision
+free), fine levels are spatially hashed into 2**log2_hashmap_size
+entries. All levels live in ONE flat parameter table with static
+per-level offsets, so the forward pass is a single fused gather and the
+backward pass is a single scatter-add — both patterns XLA maps well to
+TPU. A Pallas fast path is provided in ops/hash_pallas.py.
+
+Encoders are exposed as (init_fn, apply_fn, out_dim) triples through
+`make_encoder`, mirroring the reference's get_encoder factory surface.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Instant-NGP spatial hash primes.
+_PRIMES = (1, 2654435761, 805459861)
+
+
+@dataclass(frozen=True)
+class HashGridSpec:
+    """Static description of a multiresolution (hash) grid encoding."""
+
+    n_levels: int = 16
+    n_features: int = 2
+    base_resolution: int = 16
+    log2_hashmap_size: int = 19
+    desired_resolution: int = 512
+    # Derived (filled by make_hashgrid_spec):
+    resolutions: Tuple[int, ...] = field(default=())
+    offsets: Tuple[int, ...] = field(default=())       # per-level start row
+    hashed: Tuple[bool, ...] = field(default=())       # per-level dense/hash
+    total_entries: int = 0
+
+    @property
+    def out_dim(self) -> int:
+        return self.n_levels * self.n_features
+
+
+def make_hashgrid_spec(desired_resolution: int,
+                       log2_hashmap_size: int = 19,
+                       n_levels: int = 16,
+                       n_features: int = 2,
+                       base_resolution: int = 16,
+                       dense_only: bool = False) -> HashGridSpec:
+    """Compute static level resolutions/offsets for a hash (or dense) grid.
+
+    per_level_scale = exp2(log2(desired/base)/(L-1)) — identical formula
+    to the reference (model/encodings.py:15,33). With dense_only=True,
+    every level is stored densely (the reference's 'Dense' encoder with
+    4 levels).
+    """
+    if n_levels > 1:
+        growth = math.exp2(math.log2(desired_resolution / base_resolution) / (n_levels - 1))
+    else:
+        growth = 1.0
+    max_hash = 2 ** log2_hashmap_size
+
+    resolutions, offsets, hashed = [], [], []
+    offset = 0
+    for lvl in range(n_levels):
+        res = int(math.floor(base_resolution * (growth ** lvl)))
+        res = max(res, 1)
+        n_dense = (res + 1) ** 3
+        use_hash = (not dense_only) and (n_dense > max_hash)
+        n_entries = max_hash if use_hash else n_dense
+        resolutions.append(res)
+        offsets.append(offset)
+        hashed.append(use_hash)
+        offset += n_entries
+
+    return HashGridSpec(
+        n_levels=n_levels,
+        n_features=n_features,
+        base_resolution=base_resolution,
+        log2_hashmap_size=log2_hashmap_size,
+        desired_resolution=desired_resolution,
+        resolutions=tuple(resolutions),
+        offsets=tuple(offsets),
+        hashed=tuple(hashed),
+        total_entries=offset,
+    )
+
+
+def init_hashgrid(key, spec: HashGridSpec, dtype=jnp.float32) -> jnp.ndarray:
+    """Uniform(-1e-4, 1e-4) table init (tiny-cuda-nn's default)."""
+    return jax.random.uniform(
+        key, (spec.total_entries, spec.n_features), dtype=dtype,
+        minval=-1e-4, maxval=1e-4,
+    )
+
+
+def _corner_indices(spec: HashGridSpec, grid_i: jnp.ndarray) -> jnp.ndarray:
+    """Flat table rows for the 8 cell corners of every point at every level.
+
+    grid_i: int32 [N, L, 3] integer cell coords (floor of scaled pos).
+    Returns int32 [N, L, 8] flat indices into the parameter table.
+    """
+    n = grid_i.shape[0]
+    L = spec.n_levels
+    # 8 corner offsets [8, 3]: (z fastest to match dense row-major below)
+    corners = jnp.array(
+        [[(c >> 2) & 1, (c >> 1) & 1, c & 1] for c in range(8)], dtype=jnp.int32
+    )
+    coords = grid_i[:, :, None, :] + corners[None, None, :, :]  # [N, L, 8, 3]
+
+    res = jnp.array(spec.resolutions, dtype=jnp.int32)  # [L]
+    coords = jnp.clip(coords, 0, res[None, :, None, None] + 0)  # corners in [0, res]
+
+    out = jnp.zeros((n, L, 8), dtype=jnp.int32)
+    res_p1 = res + 1
+    # Dense index: (x * (res+1) + y) * (res+1) + z
+    dense_idx = (coords[..., 0] * res_p1[None, :, None] + coords[..., 1]) \
+        * res_p1[None, :, None] + coords[..., 2]
+    # Hash index: (x*p0 ^ y*p1 ^ z*p2) & (2^T - 1)
+    cu = coords.astype(jnp.uint32)
+    h = (cu[..., 0] * jnp.uint32(_PRIMES[0])) \
+        ^ (cu[..., 1] * jnp.uint32(_PRIMES[1])) \
+        ^ (cu[..., 2] * jnp.uint32(_PRIMES[2]))
+    hash_idx = (h & jnp.uint32(2 ** spec.log2_hashmap_size - 1)).astype(jnp.int32)
+
+    hashed = jnp.array(spec.hashed, dtype=bool)  # [L]
+    offs = jnp.array(spec.offsets, dtype=jnp.int32)  # [L]
+    idx = jnp.where(hashed[None, :, None], hash_idx, dense_idx)
+    return idx + offs[None, :, None]
+
+
+def hashgrid_encode(spec: HashGridSpec, table: jnp.ndarray,
+                    x: jnp.ndarray) -> jnp.ndarray:
+    """Multiresolution trilinear hash-grid encoding.
+
+    x: [N, 3] normalized to [0, 1] (tcnn convention; out-of-range points
+    are clamped). table: [total_entries, F]. Returns [N, L*F] features.
+    One gather of [N, L, 8] rows => XLA emits a single fused gather;
+    autodiff yields a single scatter-add for the table gradient.
+    """
+    x = jnp.clip(x, 0.0, 1.0)
+    res = jnp.array(spec.resolutions, dtype=x.dtype)  # [L]
+    pos = x[:, None, :] * res[None, :, None]          # [N, L, 3]
+    grid_i = jnp.floor(pos).astype(jnp.int32)
+    grid_i = jnp.minimum(grid_i, (res[None, :, None]).astype(jnp.int32) - 0)
+    w = pos - grid_i.astype(x.dtype)                  # [N, L, 3] in [0,1)
+
+    idx = _corner_indices(spec, grid_i)               # [N, L, 8]
+    feats = table[idx]                                # [N, L, 8, F]
+
+    # Trilinear weights for the 8 corners; corner bit c=(bx,by,bz) with
+    # bz the fastest axis (must match _corner_indices ordering).
+    corners = jnp.array(
+        [[(c >> 2) & 1, (c >> 1) & 1, c & 1] for c in range(8)], dtype=x.dtype
+    )  # [8, 3]
+    cw = corners[None, None, :, :] * w[:, :, None, :] + \
+        (1.0 - corners[None, None, :, :]) * (1.0 - w[:, :, None, :])
+    weight = cw[..., 0] * cw[..., 1] * cw[..., 2]     # [N, L, 8]
+
+    out = jnp.sum(feats * weight[..., None], axis=2)  # [N, L, F]
+    return out.reshape(x.shape[0], spec.out_dim)
+
+
+# ---------------------------------------------------------------------------
+# Coordinate encodings (pure XLA)
+# ---------------------------------------------------------------------------
+
+def _quartic_cdf(u: jnp.ndarray) -> jnp.ndarray:
+    """CDF of the quartic kernel k(u) = 15/16 (1-u^2)^2 on [-1, 1].
+
+    Used by tiny-cuda-nn's OneBlob as a cheap Gaussian-CDF surrogate.
+    """
+    uc = jnp.clip(u, -1.0, 1.0)
+    cdf = 0.5 + (15.0 / 16.0) * (uc - (2.0 / 3.0) * uc ** 3 + (1.0 / 5.0) * uc ** 5)
+    return jnp.where(u < -1.0, 0.0, jnp.where(u > 1.0, 1.0, cdf))
+
+
+def oneblob_encode(x: jnp.ndarray, n_bins: int = 16) -> jnp.ndarray:
+    """OneBlob encoding (Neural Importance Sampling / tcnn 'OneBlob').
+
+    x: [N, D] in [0, 1]. Each scalar is encoded as the mass a quartic
+    kernel (sigma = 1/n_bins) centered at x deposits in each of n_bins
+    uniform bins. Returns [N, D*n_bins].
+    """
+    edges = jnp.arange(n_bins + 1, dtype=x.dtype) / n_bins        # [B+1]
+    u = (edges[None, None, :] - x[..., None]) * n_bins            # [N, D, B+1]
+    cdf = _quartic_cdf(u)
+    feats = cdf[..., 1:] - cdf[..., :-1]                          # [N, D, B]
+    return feats.reshape(x.shape[0], -1)
+
+
+def freq_encode(x: jnp.ndarray, n_frequencies: int = 12) -> jnp.ndarray:
+    """NeRF-style frequency encoding: [sin, cos](2^k * pi * x).
+
+    x: [N, D] -> [N, D * n_frequencies * 2].
+    """
+    freqs = (2.0 ** jnp.arange(n_frequencies, dtype=x.dtype)) * jnp.pi
+    ang = x[..., None] * freqs[None, None, :]                     # [N, D, F]
+    enc = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)  # [N, D, 2F]
+    return enc.reshape(x.shape[0], -1)
+
+
+def sh_encode(d: jnp.ndarray, degree: int = 4) -> jnp.ndarray:
+    """Real spherical-harmonics basis of unit directions up to `degree`.
+
+    d: [N, 3] (normalized internally). Returns [N, degree**2].
+    Hard-coded bands 0..3 (degree<=4), matching tcnn's use for view dirs.
+    """
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    out = [jnp.full_like(x, 0.28209479177387814)]
+    if degree > 1:
+        out += [-0.48860251190291987 * y,
+                0.48860251190291987 * z,
+                -0.48860251190291987 * x]
+    if degree > 2:
+        xy, yz, xz = x * y, y * z, x * z
+        x2, y2, z2 = x * x, y * y, z * z
+        out += [1.0925484305920792 * xy,
+                -1.0925484305920792 * yz,
+                0.94617469575755997 * z2 - 0.31539156525251999,
+                -1.0925484305920792 * xz,
+                0.54627421529603959 * (x2 - y2)]
+    if degree > 3:
+        out += [0.59004358992664352 * y * (-3.0 * x2 + y2),
+                2.8906114426405538 * xy * z,
+                0.45704579946446572 * y * (1.0 - 5.0 * z2),
+                0.3731763325901154 * z * (5.0 * z2 - 3.0),
+                0.45704579946446572 * x * (1.0 - 5.0 * z2),
+                1.4453057213202769 * z * (x2 - y2),
+                0.59004358992664352 * x * (-x2 + 3.0 * y2)]
+    if degree > 4:
+        raise NotImplementedError("SH degree > 4")
+    return jnp.stack(out, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Factory (parity with reference get_encoder, model/encodings.py:6-97)
+# ---------------------------------------------------------------------------
+
+def make_encoder(encoding: str, input_dim: int = 3, degree: int = 4,
+                 n_bins: int = 16, n_frequencies: int = 12,
+                 n_levels: int = 16, level_dim: int = 2,
+                 base_resolution: int = 16, log2_hashmap_size: int = 19,
+                 desired_resolution: int = 512):
+    """Return (init_fn(key) -> params|None, apply_fn(params, x), out_dim).
+
+    Recognized names (case-insensitive substring match, like the
+    reference): dense, hash/tiled, spherical, blob, freq, identity.
+    """
+    name = encoding.lower()
+
+    if "dense" in name:
+        spec = make_hashgrid_spec(desired_resolution, log2_hashmap_size,
+                                  n_levels=4, n_features=level_dim,
+                                  base_resolution=base_resolution, dense_only=True)
+        return (lambda key: init_hashgrid(key, spec),
+                lambda p, x: hashgrid_encode(spec, p, x),
+                spec.out_dim, spec)
+
+    if "hash" in name or "tiled" in name:
+        spec = make_hashgrid_spec(desired_resolution, log2_hashmap_size,
+                                  n_levels=n_levels, n_features=level_dim,
+                                  base_resolution=base_resolution)
+        return (lambda key: init_hashgrid(key, spec),
+                lambda p, x: hashgrid_encode(spec, p, x),
+                spec.out_dim, spec)
+
+    if "spherical" in name:
+        return (lambda key: None,
+                lambda p, x: sh_encode(x, degree),
+                degree ** 2, None)
+
+    if "blob" in name:
+        return (lambda key: None,
+                lambda p, x: oneblob_encode(x, n_bins),
+                input_dim * n_bins, None)
+
+    if "freq" in name:
+        return (lambda key: None,
+                lambda p, x: freq_encode(x, n_frequencies),
+                input_dim * n_frequencies * 2, None)
+
+    if "identity" in name:
+        return (lambda key: None, lambda p, x: x, input_dim, None)
+
+    raise ValueError(f"Unknown encoding: {encoding}")

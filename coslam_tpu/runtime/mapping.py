@@ -1,0 +1,224 @@
+"""Mapping: first-frame map init and global bundle adjustment, each as a
+single jitted megastep.
+
+TPU-native redesign of the reference's global_BA (coslam.py:285-397):
+
+- Keyframe poses live in a fixed-shape [max_kf, 4, 4] device array; the
+  tangent-space pose parameters are a fixed-shape {'rot','trans'}
+  [max_kf + 1, 3] pytree (slot max_kf = current frame). The first
+  keyframe and all not-yet-allocated slots are frozen by rebuilding
+  their matrix entries from constants inside the loss graph, so their
+  gradients vanish identically.
+- Each BA iteration samples `sample` rays uniformly from the keyframe
+  reservoir and a dynamic quota max(sample // kf_count, min_pixels_cur)
+  of current-frame rays (reference coslam.py:336-344) — realized as a
+  fixed MAXCUR-ray block with a validity mask so shapes stay static.
+- Gradient accumulation schedules map_accum_step / pose_accum_step /
+  map_wait_step (reference coslam.py:363-387) are reproduced with
+  carried accumulators and masked optimizer applications.
+- The map optimizer state (Adam moments) persists across frames, like
+  the reference's long-lived map_optimizer; the pose optimizer is fresh
+  per BA call (reference get_pose_param_optim per call).
+
+Everything below runs as ONE device dispatch per mapped frame.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops import losses as L
+from ..ops import pose as P
+from .optim import make_pose_optimizer
+
+
+def _masked_opt_update(tx, grads, opt_state, params, enable):
+    """Apply an optax update only where `enable` (scalar bool); otherwise
+    keep params/state unchanged. Computed unconditionally + select —
+    cheap for pose-sized params, and branch-free for TPU."""
+    updates, new_state = tx.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    sel = lambda a, b: jnp.where(enable, a, b)
+    params = jax.tree_util.tree_map(sel, new_params, params)
+    opt_state = jax.tree_util.tree_map(sel, new_state, opt_state)
+    return params, opt_state
+
+
+def make_first_frame_step(model, config: Dict, map_tx, H: int, W: int):
+    """Jitted map-only optimization on one frame with a fixed pose.
+
+    step(map_params, map_opt_state, c2w, frame_rays [H*W, 7], key, n_iters)
+    runs `mapping.first_iters` iterations (reference coslam.py:162-207)
+    in one dispatch. n_iters is static (baked per call site).
+    """
+    mcfg = config["mapping"]
+    sample = int(mcfg["sample"])
+    weights = config["training"]
+
+    @jax.jit
+    def step(map_params, map_opt_state, c2w, frame_rays, key):
+        dirs_all = frame_rays[:, :3]
+        rgb_all = frame_rays[:, 3:6]
+        d_all = frame_rays[:, 6:7]
+        Rm = c2w[:3, :3]
+        t = c2w[:3, 3]
+
+        def loss_fn(mp, idx, k):
+            rays_d = dirs_all[idx] @ Rm.T
+            rays_o = jnp.broadcast_to(t, rays_d.shape)
+            ret = model.forward(mp, k, rays_o, rays_d, rgb_all[idx], d_all[idx])
+            return L.total_loss(ret, weights), ret["psnr"]
+
+        def body(carry, k):
+            mp, opt_state = carry
+            k1, k2 = jax.random.split(k)
+            idx = jax.random.randint(k1, (sample,), 0, dirs_all.shape[0])
+            (loss, psnr), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                mp, idx, k2)
+            updates, opt_state = map_tx.update(grads, opt_state, mp)
+            mp = optax.apply_updates(mp, updates)
+            return (mp, opt_state), (loss, psnr)
+
+        n_iters = int(mcfg["first_iters"])
+        keys = jax.random.split(key, n_iters)
+        (map_params, map_opt_state), (losses, psnrs) = jax.lax.scan(
+            body, (map_params, map_opt_state), keys)
+        return map_params, map_opt_state, losses[-1], psnrs[-1]
+
+    return step
+
+
+def make_ba_step(model, config: Dict, map_tx, max_kf: int, rays_per_kf: int,
+                 n_pixels: int):
+    """Build the jitted global-BA megastep.
+
+    step(map_params, map_opt_state, kf_rays [max_kf, R, 7], kf_count,
+         kf_poses [max_kf, 4, 4], cur_pose [4, 4], cur_rays [H*W, 7], key)
+      -> (map_params, map_opt_state, new_kf_poses, new_cur_pose,
+          last_loss)
+    """
+    mcfg = config["mapping"]
+    sample = int(mcfg["sample"])
+    maxcur = sample  # quota max: sample // 1 when only one keyframe exists
+    iters = int(mcfg["iters"])
+    min_pixels_cur = int(mcfg["min_pixels_cur"])
+    map_accum = int(mcfg["map_accum_step"])
+    pose_accum = int(mcfg["pose_accum_step"])
+    map_wait = int(mcfg["map_wait_step"])
+    optim_cur = bool(mcfg["optim_cur"])
+    weights = config["training"]
+    smooth_weight = float(weights["smooth_weight"])
+
+    mat_to_tensor, mat_from_tensor = P.get_pose_representation(
+        config["training"]["rot_rep"])
+    pose_tx = make_pose_optimizer(mcfg["lr_rot"], mcfg["lr_trans"])
+
+    @jax.jit
+    def step(map_params, map_opt_state, kf_rays, kf_count, kf_poses,
+             cur_pose, cur_rays, key):
+        n_cur_pix = cur_rays.shape[0]
+        # Tangent-space parameters for all keyframes + current frame.
+        all_poses0 = jnp.concatenate([kf_poses, cur_pose[None]], axis=0)
+        pp = {"rot": mat_to_tensor(all_poses0[:, :3, :3]),
+              "trans": all_poses0[:, :3, 3]}
+        pose_opt_state = pose_tx.init(pp)
+        pose_enable = kf_count >= 2  # reference: no pose optim with <2 KFs
+
+        first_kf_pose = kf_poses[0]
+
+        def build_poses(pp):
+            mats = mat_from_tensor(pp["rot"], pp["trans"])  # [max_kf+1,4,4]
+            mats = mats.at[0].set(first_kf_pose)            # frozen first KF
+            if not optim_cur:
+                mats = mats.at[max_kf].set(cur_pose)        # frozen current
+            return mats
+
+        flat_kf = kf_rays.reshape(-1, 7)
+        n_cur_quota = jnp.maximum(sample // jnp.maximum(kf_count, 1),
+                                  min_pixels_cur)
+
+        def loss_fn(pp, mp, ray_data, ray_ids, ray_mask, k):
+            poses_all = build_poses(pp)
+            Rm = poses_all[ray_ids, :3, :3]               # [N,3,3]
+            t = poses_all[ray_ids, :3, 3]                 # [N,3]
+            dirs = ray_data[:, :3]
+            rays_d = jnp.einsum("nij,nj->ni", Rm, dirs)
+            k1, k2 = jax.random.split(k)
+            ret = model.forward(mp, k1, t, rays_d, ray_data[:, 3:6],
+                                ray_data[:, 6:7], ray_mask=ray_mask)
+            smooth = model.smoothness(mp, k2, weights["smooth_pts"],
+                                      weights["smooth_vox"],
+                                      weights["smooth_margin"]) \
+                if smooth_weight > 0 else None
+            loss = L.total_loss(ret, weights, smooth_loss=smooth,
+                                smooth_weight=smooth_weight)
+            return loss
+
+        zero_pose_grads = jax.tree_util.tree_map(jnp.zeros_like, pp)
+
+        def body(carry, xs):
+            (pp, pose_opt_state, mp, map_opt_state, pose_accum_grads,
+             map_accum_grads) = carry
+            i, k = xs
+            k1, k2, k3 = jax.random.split(k, 3)
+
+            idx = jax.random.randint(k1, (sample,), 0, kf_count * rays_per_kf)
+            kf_ray = flat_kf[idx]
+            kf_ids = idx // rays_per_kf
+
+            cur_idx = jax.random.randint(k2, (maxcur,), 0, n_cur_pix)
+            cur_ray = cur_rays[cur_idx]
+            cur_mask = jnp.arange(maxcur) < n_cur_quota
+
+            ray_data = jnp.concatenate([kf_ray, cur_ray], axis=0)
+            ray_ids = jnp.concatenate(
+                [kf_ids, jnp.full((maxcur,), max_kf, jnp.int32)])
+            ray_mask = jnp.concatenate(
+                [jnp.ones((sample,)), cur_mask.astype(jnp.float32)])
+
+            loss, (pose_grads, map_grads) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1))(pp, mp, ray_data, ray_ids,
+                                         ray_mask, k3)
+
+            map_accum_grads = jax.tree_util.tree_map(
+                jnp.add, map_accum_grads, map_grads)
+            pose_accum_grads = jax.tree_util.tree_map(
+                jnp.add, pose_accum_grads, pose_grads)
+
+            # Map update every map_accum_step iters, after map_wait_step.
+            do_map = ((i + 1) % map_accum == 0) & ((i + 1) > map_wait)
+            mp, map_opt_state = _masked_opt_update(
+                map_tx, map_accum_grads, map_opt_state, mp, do_map)
+            map_accum_grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(do_map, jnp.zeros_like(g), g),
+                map_accum_grads)
+
+            # Pose update every pose_accum_step iters (if >= 2 keyframes).
+            do_pose = ((i + 1) % pose_accum == 0) & pose_enable
+            pp, pose_opt_state = _masked_opt_update(
+                pose_tx, pose_accum_grads, pose_opt_state, pp, do_pose)
+            pose_accum_grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(do_pose, jnp.zeros_like(g), g),
+                pose_accum_grads)
+
+            return (pp, pose_opt_state, mp, map_opt_state, pose_accum_grads,
+                    map_accum_grads), loss
+
+        keys = jax.random.split(key, iters)
+        init = (pp, pose_opt_state, map_params, map_opt_state,
+                zero_pose_grads,
+                jax.tree_util.tree_map(jnp.zeros_like, map_params))
+        (pp, _, map_params, map_opt_state, _, _), losses = jax.lax.scan(
+            body, init, (jnp.arange(iters), keys))
+
+        final = build_poses(pp)
+        # Only report optimized poses when pose optimization actually ran.
+        new_kf = jnp.where(pose_enable, final[:max_kf], kf_poses)
+        new_cur = jnp.where(pose_enable & optim_cur, final[max_kf], cur_pose)
+        return map_params, map_opt_state, new_kf, new_cur, losses[-1]
+
+    return step

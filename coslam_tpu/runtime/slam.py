@@ -1,0 +1,313 @@
+"""Co-SLAM orchestrator: per-frame tracking -> mapping -> keyframing loop.
+
+TPU-native equivalent of the reference CoSLAM class (reference:
+coslam.py:31-722). Differences by design:
+
+- All hot loops are single jitted device dispatches (tracking megastep,
+  BA megastep, keyframe insertion); Python only sequences frames.
+- Poses are a preallocated [N, 4, 4] numpy table on the host (the
+  reference's est_c2w_data dict of tensors), mirrored to device only as
+  inputs to the jitted steps.
+- Host<->device traffic per frame: 7*S floats of sampled tracking rays;
+  a full [H*W, 7] frame block only on mapped/keyframed frames.
+- Per-phase wall-clock instrumentation (track/map/mesh ms) is built in
+  (the reference has none; SURVEY §5.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import get_dataset
+from ..models.scene_rep import JointEncoding
+from .checkpoint import load_ckpt, save_ckpt
+from .keyframe import KeyFrameDatabase
+from .mapping import make_ba_step, make_first_frame_step
+from .optim import make_map_optimizer
+from .tracking import make_tracking_step, predict_current_pose
+
+
+class CoSLAM:
+    def __init__(self, config: Dict, dataset=None):
+        self.config = config
+        self.dataset = dataset if dataset is not None else get_dataset(config)
+        self.device = jax.devices()[0]
+
+        self.bounding_box = np.array(config["mapping"]["bound"], np.float32)
+        self.marching_cube_bound = np.array(
+            config["mapping"]["marching_cubes_bound"], np.float32)
+
+        n = self.dataset.num_frames
+        self.est_c2w = np.zeros((n, 4, 4), np.float32)
+        self.est_c2w_rel: Dict[int, np.ndarray] = {}
+        self.pose_gt = {i: np.asarray(p, np.float32)
+                        for i, p in enumerate(self.dataset.poses)}
+
+        self.model = JointEncoding(config, self.bounding_box)
+        self.key = jax.random.PRNGKey(0)
+        self.params = self.model.init_params(self._next_key())
+
+        self.map_tx = make_map_optimizer(config)
+        self.map_opt_state = self.map_tx.init(self.params)
+
+        num_kf = int(n // config["mapping"]["keyframe_every"] + 1)
+        self.kf_db = KeyFrameDatabase(config, self.dataset.H, self.dataset.W,
+                                      num_kf, self.dataset.num_rays_to_save)
+        self.kf_poses = jnp.tile(jnp.eye(4), (num_kf, 1, 1)).astype(jnp.float32)
+
+        H, W = self.dataset.H, self.dataset.W
+        self._track_step = make_tracking_step(self.model, config)
+        self._first_step = make_first_frame_step(self.model, config,
+                                                 self.map_tx, H, W)
+        self._ba_step = make_ba_step(self.model, config, self.map_tx,
+                                     num_kf, self.dataset.num_rays_to_save,
+                                     self.dataset.num_rays_to_save)
+        self._rng = np.random.default_rng(0)
+
+        # Per-phase instrumentation (ms per invocation).
+        self.timings = {"tracking": [], "mapping": [], "mesh": [],
+                        "first_frame": []}
+
+    # -- helpers --------------------------------------------------------------
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def seed_everything(self, seed: int):
+        self.key = jax.random.PRNGKey(seed)
+        self._rng = np.random.default_rng(seed)
+
+    def _frame_rays_flat(self, batch: Dict) -> np.ndarray:
+        """[H*W, 7] = [direction, rgb, depth] host block."""
+        H, W = batch["depth"].shape
+        return np.concatenate(
+            [batch["direction"].reshape(-1, 3),
+             batch["rgb"].reshape(-1, 3),
+             batch["depth"].reshape(-1, 1)], axis=1).astype(np.float32)
+
+    def _sample_tracking_rays(self, batch: Dict) -> np.ndarray:
+        """Host-side uniform pixel sampling on the edge-cropped image
+        (reference coslam.py:536-544); one fixed set per frame."""
+        iH = self.config["tracking"]["ignore_edge_H"]
+        iW = self.config["tracking"]["ignore_edge_W"]
+        S = self.config["tracking"]["sample"]
+        dirs = batch["direction"][iH:-iH, iW:-iW].reshape(-1, 3)
+        rgb = batch["rgb"][iH:-iH, iW:-iW].reshape(-1, 3)
+        depth = batch["depth"][iH:-iH, iW:-iW].reshape(-1, 1)
+        idx = self._rng.choice(dirs.shape[0], size=S, replace=False)
+        return np.concatenate([dirs[idx], rgb[idx], depth[idx]],
+                              axis=1).astype(np.float32)
+
+    # -- pipeline stages -------------------------------------------------------
+
+    def first_frame_mapping(self, batch: Dict) -> float:
+        """Reference coslam.py:162-207."""
+        t0 = time.perf_counter()
+        c2w = np.asarray(batch["c2w"], np.float32)
+        self.est_c2w[0] = c2w
+        self.est_c2w_rel[0] = c2w
+
+        frame_rays = jnp.asarray(self._frame_rays_flat(batch))
+        self.params, self.map_opt_state, loss, psnr = self._first_step(
+            self.params, self.map_opt_state, jnp.asarray(c2w), frame_rays,
+            self._next_key())
+        self.add_keyframe(batch, frame_rays=frame_rays)
+        jax.block_until_ready(loss)
+        self.timings["first_frame"].append((time.perf_counter() - t0) * 1e3)
+        return float(loss)
+
+    def tracking_render(self, batch: Dict, frame_id: int) -> float:
+        """Reference coslam.py:502-594."""
+        t0 = time.perf_counter()
+        const_speed = self.config["tracking"]["const_speed"]
+        prev = self.est_c2w[frame_id - 1]
+        prev_prev = self.est_c2w[frame_id - 2] if frame_id >= 2 else None
+        c2w_init = predict_current_pose(prev, prev_prev, const_speed)
+
+        rays = jnp.asarray(self._sample_tracking_rays(batch))
+        c2w, loss, psnr = self._track_step(self.params, jnp.asarray(c2w_init),
+                                           rays, self._next_key())
+        c2w = np.asarray(c2w)
+        self.est_c2w[frame_id] = c2w
+
+        kf_every = self.config["mapping"]["keyframe_every"]
+        if frame_id % kf_every != 0:
+            kf_frame_id = (frame_id // kf_every) * kf_every
+            c2w_key = self.est_c2w[kf_frame_id].astype(np.float64)
+            self.est_c2w_rel[frame_id] = (
+                c2w.astype(np.float64) @ np.linalg.inv(c2w_key)).astype(np.float32)
+        self.timings["tracking"].append((time.perf_counter() - t0) * 1e3)
+
+        gt = self.pose_gt.get(frame_id)
+        if gt is not None and np.all(np.isfinite(gt)):
+            err = np.abs(c2w[:3] - gt[:3]).mean()
+        else:
+            err = float("nan")
+        self._last_track_info = (float(loss), float(psnr), float(err))
+        return float(loss)
+
+    def add_keyframe(self, batch: Dict, frame_rays: Optional[jnp.ndarray] = None):
+        """Reference model/keyframe.py:67-94 + coslam.py:685-687."""
+        if frame_rays is None:
+            frame_rays = jnp.asarray(self._frame_rays_flat(batch))
+        self.kf_db.add_keyframe(
+            frame_rays, int(batch["frame_id"]), self._next_key(),
+            filter_depth=self.config["mapping"]["filter_depth"])
+        # Mirror the keyframe pose into the device pose table.
+        slot = self.kf_db.count - 1
+        self.kf_poses = self.kf_poses.at[slot].set(
+            jnp.asarray(self.est_c2w[int(batch["frame_id"])]))
+
+    def global_BA(self, batch: Dict, cur_frame_id: int) -> float:
+        """Reference coslam.py:285-397."""
+        t0 = time.perf_counter()
+        # Sync host pose table -> device KF pose array (tracking may have
+        # updated the KF pose if cur frame is a KF... KFs are added after
+        # BA, so only previously optimized poses live here already).
+        cur_pose = jnp.asarray(self.est_c2w[cur_frame_id])
+        cur_rays = jnp.asarray(self._frame_rays_flat(batch))
+
+        (self.params, self.map_opt_state, self.kf_poses, new_cur,
+         loss) = self._ba_step(
+            self.params, self.map_opt_state, self.kf_db.rays,
+            jnp.int32(self.kf_db.count), self.kf_poses, cur_pose, cur_rays,
+            self._next_key())
+
+        # Write optimized poses back to the host table
+        # (reference coslam.py:389-397).
+        if self.kf_db.count >= 2:
+            kf_np = np.asarray(self.kf_poses)
+            for slot in range(1, self.kf_db.count):
+                fid = int(self.kf_db.frame_ids[slot])
+                self.est_c2w[fid] = kf_np[slot]
+            if self.config["mapping"]["optim_cur"]:
+                self.est_c2w[cur_frame_id] = np.asarray(new_cur)
+        self.timings["mapping"].append((time.perf_counter() - t0) * 1e3)
+        return float(loss)
+
+    def convert_relative_pose(self) -> Dict[int, np.ndarray]:
+        """Recompose non-keyframe poses from stored keyframe-relative deltas
+        (reference coslam.py:596-608)."""
+        kf_every = self.config["mapping"]["keyframe_every"]
+        poses = {}
+        for i in range(len(self.est_c2w)):
+            if i % kf_every == 0:
+                poses[i] = self.est_c2w[i]
+            else:
+                kf_frame_id = (i // kf_every) * kf_every
+                delta = self.est_c2w_rel.get(i, np.eye(4, dtype=np.float32))
+                poses[i] = (delta.astype(np.float64)
+                            @ self.est_c2w[kf_frame_id].astype(np.float64)
+                            ).astype(np.float32)
+        return poses
+
+    def save_mesh(self, i: int, voxel_size: float = 0.05):
+        from ..mesh.extract import extract_mesh
+
+        t0 = time.perf_counter()
+        out = os.path.join(self.config["data"]["output"],
+                           self.config["data"]["exp_name"])
+        mesh_path = os.path.join(out, f"mesh_track{i}.ply")
+        color_fn = (self.model.render_surface_color
+                    if self.config["mesh"]["render_color"]
+                    else self.model.query_color)
+        extract_mesh(self.model, self.params, self.config, self.bounding_box,
+                     marching_cube_bound=self.marching_cube_bound,
+                     color_func=color_fn, voxel_size=voxel_size,
+                     mesh_savepath=mesh_path)
+        self.timings["mesh"].append((time.perf_counter() - t0) * 1e3)
+        return mesh_path
+
+    def save_checkpoint(self, path: str):
+        save_ckpt(path, self.params, self.est_c2w, self.est_c2w_rel)
+
+    def load_checkpoint(self, path: str):
+        params, est, rel = load_ckpt(path)
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.est_c2w = est
+        self.est_c2w_rel = rel
+
+    # -- main loop --------------------------------------------------------------
+
+    def run(self, n_frames: Optional[int] = None, verbose: bool = True,
+            eval_ate: bool = True):
+        from ..eval.ate import pose_evaluation
+
+        cfg = self.config
+        out = os.path.join(cfg["data"]["output"], cfg["data"]["exp_name"])
+        os.makedirs(out, exist_ok=True)
+
+        total = len(self.dataset) if n_frames is None else min(
+            n_frames, len(self.dataset))
+
+        for i in range(total):
+            batch = self.dataset[i]
+            if i == 0:
+                loss = self.first_frame_mapping(batch)
+                if cfg["mapping"]["first_mesh"]:
+                    try:
+                        self.save_mesh(0, voxel_size=cfg["mesh"]["voxel_eval"])
+                    except Exception as e:  # mesh ext optional at start
+                        print(f"first mesh skipped: {e}")
+                if verbose:
+                    print(f"frame 0: first-frame mapping loss {loss:.5f}")
+                continue
+
+            self.tracking_render(batch, i)
+            if verbose:
+                loss, psnr, err = self._last_track_info
+                print(f"it: {i}, loss: {loss:.5f}, psnr: {psnr:.3f}, "
+                      f"pose L1 vs gt: {err:.5f}")
+
+            if i % cfg["mapping"]["map_every"] == 0:
+                self.global_BA(batch, i)
+
+            if i % cfg["mapping"]["keyframe_every"] == 0:
+                self.add_keyframe(batch)
+
+            if cfg["mesh"]["vis"] and i % cfg["mesh"]["vis"] == 0:
+                try:
+                    self.save_mesh(i, voxel_size=cfg["mesh"]["voxel_eval"])
+                except Exception as e:
+                    print(f"mesh save failed: {e}")
+                if eval_ate:
+                    pose_evaluation(self.pose_gt, self._pose_dict(), 1,
+                                    out, i)
+                    pose_evaluation(self.pose_gt, self.convert_relative_pose(),
+                                    1, out, i, img="pose_r",
+                                    name="output_relative.txt")
+
+        i = total - 1
+        self.save_checkpoint(os.path.join(out, f"checkpoint{i}.npz"))
+        try:
+            self.save_mesh(i, voxel_size=cfg["mesh"]["voxel_final"])
+        except Exception as e:
+            print(f"final mesh failed: {e}")
+        results = None
+        if eval_ate:
+            results = pose_evaluation(self.pose_gt, self._pose_dict(), 1, out, i)
+            pose_evaluation(self.pose_gt, self.convert_relative_pose(), 1,
+                            out, i, img="pose_r", name="output_relative.txt")
+        if verbose:
+            self.print_timings()
+        return results
+
+    def _pose_dict(self) -> Dict[int, np.ndarray]:
+        return {i: self.est_c2w[i] for i in range(len(self.est_c2w))
+                if np.any(self.est_c2w[i] != 0)}
+
+    def print_timings(self):
+        for phase, vals in self.timings.items():
+            if vals:
+                # Skip the first invocation (jit compile) in the mean.
+                steady = vals[1:] if len(vals) > 1 else vals
+                print(f"[timing] {phase}: mean {np.mean(steady):.2f} ms "
+                      f"({len(vals)} calls, first {vals[0]:.0f} ms)")

@@ -1,0 +1,117 @@
+"""Camera tracking as a single jitted megastep.
+
+Replaces the reference's per-iteration Python loop with host syncs
+(reference coslam.py:502-594: 10 Adam iterations, each doing a
+forward/backward, a .cpu().item() loss readback for best-pose
+bookkeeping, and an early-stop counter) with ONE `lax.scan` over
+iterations compiled into a single XLA computation:
+
+- the ray set is sampled once per frame and fixed across iterations
+  (reference behavior, coslam.py:536-544);
+- best-pose selection runs on device in the scan carry (no readbacks);
+- the early-stop counter is carried and the final pose selection
+  reproduces the reference exactly: with `tracking.best` the
+  lowest-loss pose is returned, otherwise the pose *evaluated at* the
+  last executed iteration (i.e. after iter-1 optimizer steps). The
+  reference's `wait_iters` early break is representable as a masked
+  no-op; with every shipped config wait_iters >= iter so it never fires.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops import losses as L
+from ..ops import pose as P
+from .optim import make_pose_optimizer
+
+
+def make_tracking_step(model, config: Dict):
+    """Build the jitted per-frame tracking function.
+
+    Returned signature:
+        step(params, c2w_init [4,4], rays [S,7], key)
+            -> (c2w [4,4], last_loss, last_psnr)
+    """
+    tcfg = config["tracking"]
+    n_iter = int(tcfg["iter"])
+    use_best = bool(tcfg["best"])
+    wait_iters = int(tcfg["wait_iters"])
+    weights = config["training"]
+    mat_to_tensor, mat_from_tensor = P.get_pose_representation(
+        config["training"]["rot_rep"])
+
+    tx = make_pose_optimizer(tcfg["lr_rot"], tcfg["lr_trans"])
+
+    @jax.jit
+    def step(params, c2w_init, rays, key):
+        pp = {"rot": mat_to_tensor(c2w_init[:3, :3])[None],
+              "trans": c2w_init[:3, 3][None]}
+        opt_state = tx.init(pp)
+
+        dirs = rays[:, :3]
+        target_rgb = rays[:, 3:6]
+        target_d = rays[:, 6:7]
+
+        def loss_fn(pp, k):
+            c2w = mat_from_tensor(pp["rot"], pp["trans"])[0]
+            rays_d = dirs @ c2w[:3, :3].T
+            rays_o = jnp.broadcast_to(c2w[:3, 3], rays_d.shape)
+            ret = model.forward(params, k, rays_o, rays_d, target_rgb, target_d)
+            loss = L.total_loss(ret, weights)
+            return loss, ret["psnr"]
+
+        def body(carry, k):
+            pp, opt_state, best_loss, best_pp, last_pp, stall, done = carry
+            (loss, psnr), grads = jax.value_and_grad(loss_fn, has_aux=True)(pp, k)
+
+            improved = loss < best_loss
+            best_pp = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(improved & ~done, new, old), pp, best_pp)
+            best_loss = jnp.where(improved & ~done, loss, best_loss)
+            stall = jnp.where(done, stall, jnp.where(improved, 0, stall + 1))
+
+            # Pose evaluated this iteration (reference's `c2w_est` at loop end).
+            last_pp = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(done, old, new), pp, last_pp)
+
+            updates, new_opt_state = tx.update(grads, opt_state, pp)
+            new_pp = optax.apply_updates(pp, updates)
+
+            done_next = done | (stall > wait_iters)
+            pp = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(done, old, new), new_pp, pp)
+            opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(done, old, new), new_opt_state, opt_state)
+            return (pp, opt_state, best_loss, best_pp, last_pp, stall,
+                    done_next), (loss, psnr)
+
+        keys = jax.random.split(key, n_iter)
+        init = (pp, opt_state, jnp.inf, pp, pp, jnp.int32(0), jnp.bool_(False))
+        (pp, _, best_loss, best_pp, last_pp, _, _), (losses, psnrs) = \
+            jax.lax.scan(body, init, keys)
+
+        chosen = best_pp if use_best else last_pp
+        c2w = mat_from_tensor(chosen["rot"], chosen["trans"])[0]
+        return c2w, losses[-1], psnrs[-1]
+
+    return step
+
+
+def predict_current_pose(est_prev, est_prev_prev=None, constant_speed=True):
+    """Constant-speed motion model init (reference coslam.py:399-413).
+
+    Host-side numpy helper: with two previous poses, applies the last
+    inter-frame delta; otherwise copies the previous pose.
+    """
+    import numpy as np
+
+    if est_prev_prev is None or not constant_speed:
+        return np.array(est_prev, np.float32)
+    delta = est_prev @ np.linalg.inv(est_prev_prev.astype(np.float64))
+    return (delta @ est_prev).astype(np.float32)

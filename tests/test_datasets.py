@@ -1,0 +1,78 @@
+"""Dataset layer: synthetic Replica-format roundtrip through the loader."""
+
+import numpy as np
+import pytest
+
+from coslam_tpu.data.datasets import ReplicaDataset, get_dataset
+from coslam_tpu.data.synth import (AnalyticScene, make_synthetic_config,
+                                   make_trajectory, render_frame,
+                                   write_replica_format)
+from coslam_tpu.ops.rays import get_camera_rays
+
+
+@pytest.fixture(scope="module")
+def synth_seq(tmp_path_factory):
+    d = tmp_path_factory.mktemp("synth")
+    datadir = str(d / "scene")
+    cfg = make_synthetic_config(datadir, str(d / "out"), H=40, W=52,
+                                n_frames=8)
+    scene = AnalyticScene()
+    poses = make_trajectory(8)
+    cam = cfg["cam"]
+    write_replica_format(datadir, scene, poses, cam["H"], cam["W"],
+                         cam["fx"], cam["fy"], cam["cx"], cam["cy"])
+    return cfg, scene, poses
+
+
+def test_loader_roundtrip(synth_seq):
+    cfg, scene, poses = synth_seq
+    ds = get_dataset(cfg)
+    assert isinstance(ds, ReplicaDataset)
+    assert len(ds) == 8
+    b = ds[0]
+    H, W = cfg["cam"]["H"], cfg["cam"]["W"]
+    assert b["rgb"].shape == (H, W, 3)
+    assert b["depth"].shape == (H, W)
+    assert b["direction"].shape == (H, W, 3)
+    # Pose roundtrip: loader gives back the OpenGL pose we rendered with.
+    np.testing.assert_allclose(b["c2w"], poses[0], atol=1e-5)
+    # Depth within png quantization of the analytic render.
+    rgb_ref, depth_ref = render_frame(scene, poses[0], H, W, cfg["cam"]["fx"],
+                                      cfg["cam"]["fy"], cfg["cam"]["cx"],
+                                      cfg["cam"]["cy"])
+    np.testing.assert_allclose(b["depth"], depth_ref, atol=2e-3)
+    assert np.abs(b["rgb"] - rgb_ref).mean() < 0.03  # jpeg noise
+
+
+def test_rays_render_consistency(synth_seq):
+    """Back-projecting loader depth along loader rays must land on the
+    analytic scene surface (SDF ~ 0)."""
+    cfg, scene, poses = synth_seq
+    ds = get_dataset(cfg)
+    b = ds[3]
+    dirs = b["direction"].reshape(-1, 3)
+    depth = b["depth"].reshape(-1)
+    c2w = b["c2w"]
+    rays_d = dirs @ c2w[:3, :3].T
+    pts = c2w[:3, 3][None] + rays_d * depth[:, None]
+    sd = scene.sdf(pts)
+    assert np.abs(sd).mean() < 0.01
+
+
+def test_camera_rays_convention():
+    dirs = get_camera_rays(10, 12, fx=10.0, fy=10.0, cx=5.5, cy=4.5)
+    assert dirs.shape == (10, 12, 3)
+    np.testing.assert_allclose(dirs[..., 2], -1.0)
+    # x increases rightwards, y decreases downwards (OpenGL)
+    assert dirs[0, -1, 0] > dirs[0, 0, 0]
+    assert dirs[-1, 0, 1] < dirs[0, 0, 1]
+
+    cv = get_camera_rays(10, 12, fx=10.0, convention="OpenCV")
+    np.testing.assert_allclose(cv[..., 2], 1.0)
+
+
+def test_num_rays_to_save(synth_seq):
+    cfg, _, _ = synth_seq
+    ds = get_dataset(cfg)
+    expect = int(cfg["cam"]["H"] * cfg["cam"]["W"] * cfg["mapping"]["n_pixels"])
+    assert ds.num_rays_to_save == expect

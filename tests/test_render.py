@@ -1,0 +1,112 @@
+"""Volume-rendering primitives vs numpy reference formulas."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from coslam_tpu.ops import render as R
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def np_sdf2weights(sdf, z_vals, trunc, sc_factor=1.0):
+    """Numpy reference of the sigmoid-bell first-surface weighting
+    (semantics of reference model/scene_rep.py:77-97)."""
+    w = _sigmoid(sdf / trunc) * _sigmoid(-sdf / trunc)
+    signs = sdf[:, 1:] * sdf[:, :-1]
+    mask = (signs < 0).astype(np.float32)
+    inds = mask.argmax(axis=1)
+    z_min = z_vals[np.arange(len(z_vals)), inds][:, None]
+    m = (z_vals < z_min + sc_factor * trunc).astype(np.float32)
+    w = w * m
+    return w / (w.sum(axis=-1, keepdims=True) + 1e-8)
+
+
+def test_sdf2weights_matches_numpy(rng):
+    n, s = 16, 32
+    z_vals = np.sort(rng.uniform(0, 5, (n, s))).astype(np.float32)
+    # SDF decreasing through a surface: d_surface - z
+    d_surf = rng.uniform(1, 4, (n, 1)).astype(np.float32)
+    sdf = (d_surf - z_vals + 0.02 * rng.standard_normal((n, s))).astype(np.float32)
+    got = np.asarray(R.sdf2weights(jnp.asarray(sdf), jnp.asarray(z_vals), 0.1))
+    expect = np_sdf2weights(sdf, z_vals, 0.1)
+    np.testing.assert_allclose(got, expect, atol=1e-5)
+
+
+def test_sdf2weights_no_crossing():
+    """All-positive SDF (no surface): index 0 selected, finite output."""
+    z = np.linspace(0.1, 5, 16, dtype=np.float32)[None].repeat(3, 0)
+    sdf = np.ones_like(z)
+    got = np.asarray(R.sdf2weights(jnp.asarray(sdf), jnp.asarray(z), 0.1))
+    expect = np_sdf2weights(sdf, z, 0.1)
+    np.testing.assert_allclose(got, expect, atol=1e-6)
+    assert np.all(np.isfinite(got))
+
+
+def test_raw2outputs_depth_recovery(rng):
+    """A sharp SDF zero crossing at depth d must render depth ~ d.
+
+    The truncation band must span a few sample intervals for the
+    sigmoid-bell weights to resolve the crossing (here spacing ~0.04,
+    truncation 0.1)."""
+    n, s = 8, 128
+    z_vals = np.broadcast_to(np.linspace(0.0, 5.0, s, dtype=np.float32), (n, s)).copy()
+    d_surf = rng.uniform(1.0, 4.0, (n, 1)).astype(np.float32)
+    sdf = d_surf - z_vals
+    raw = np.concatenate([np.full((n, s, 3), 2.0, np.float32),
+                          sdf[..., None]], axis=-1)
+    rgb, disp, acc, w, depth, dvar = R.raw2outputs(
+        jnp.asarray(raw), jnp.asarray(z_vals), truncation=0.1)
+    np.testing.assert_allclose(np.asarray(depth), d_surf[:, 0], atol=0.05)
+    np.testing.assert_allclose(np.asarray(acc), 1.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rgb), _sigmoid(2.0), atol=1e-4)
+
+
+def test_stratified_z_vals_depth_guided():
+    key = jax.random.PRNGKey(0)
+    target_d = jnp.array([[2.0], [-1.0]])
+    z = R.stratified_z_vals(key, 2, target_d, near=0.0, far=5.0,
+                            range_d=0.25, n_range_d=11, n_samples_d=16,
+                            perturb=False)
+    z = np.asarray(z)
+    assert z.shape == (2, 27)
+    assert np.all(np.diff(z, axis=-1) >= 0)  # sorted
+    # Valid-depth row: 11 samples inside [1.75, 2.25]
+    inside = ((z[0] >= 1.75 - 1e-5) & (z[0] <= 2.25 + 1e-5)).sum()
+    assert inside >= 11
+    # Invalid-depth row: all samples spread over [0, 5]
+    assert z[1].min() >= 0 and z[1].max() <= 5
+
+
+def test_stratified_z_vals_perturb_in_bounds():
+    key = jax.random.PRNGKey(1)
+    target_d = jnp.full((4, 1), 2.0)
+    z0 = R.stratified_z_vals(key, 4, target_d, 0.0, 5.0, 0.25, 11, 16, False)
+    z1 = R.stratified_z_vals(key, 4, target_d, 0.0, 5.0, 0.25, 11, 16, True)
+    z0, z1 = np.asarray(z0), np.asarray(z1)
+    assert z1.min() >= z0.min() - 1e-5 and z1.max() <= z0.max() + 1e-5
+    assert not np.allclose(z0, z1)
+
+
+def test_sample_pdf_concentrates_mass():
+    """Importance samples should land where the weights are."""
+    key = jax.random.PRNGKey(0)
+    m = 63
+    bins = jnp.broadcast_to(jnp.linspace(0.0, 1.0, m + 1), (4, m + 1))
+    w = np.zeros((4, m), np.float32)
+    w[:, 40:46] = 1.0  # mass near ~0.67
+    samples = np.asarray(R.sample_pdf(key, bins, jnp.asarray(w), 32))
+    assert samples.shape == (4, 32)
+    frac_near = ((samples > 0.55) & (samples < 0.8)).mean()
+    assert frac_near > 0.9
+
+
+def test_sample_pdf_det_monotone():
+    key = jax.random.PRNGKey(0)
+    bins = jnp.linspace(0.0, 1.0, 11)[None].repeat(2, 0)
+    w = jnp.ones((2, 10))
+    s = np.asarray(R.sample_pdf(key, bins, w, 16, det=True))
+    assert np.all(np.diff(s, axis=-1) > 0)
+    np.testing.assert_allclose(s[0], s[1])
