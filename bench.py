@@ -1,0 +1,113 @@
+"""Benchmark: tracking/mapping optimization-cycle speed at Replica scale.
+
+Measures the same quantities as the reference's headline table
+(BASELINE.md: Replica tracking 5.8 ms x 10 it = 17.24 FPS, mapping
+9.8 ms x 10 it = 10.20 FPS on an RTX 3090 Ti): the wall-clock of one
+full tracking optimization cycle (10 iterations, 1024 rays) and one full
+mapping/BA cycle (10 iterations, 2048 keyframe rays + current-frame
+block) with the Replica room0 model configuration (HashGrid hash_size
+16, 16 levels, OneBlob 16 bins, 32-hidden MLPs, 43 samples/ray).
+
+Prints ONE JSON line:
+  {"metric": "tracking_fps_replica", "value": ..., "unit": "fps",
+   "vs_baseline": value / 17.24, ...extras}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/coslam_tpu_xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from coslam_tpu.config import load_config
+    from coslam_tpu.models.scene_rep import JointEncoding
+    from coslam_tpu.runtime.mapping import make_ba_step
+    from coslam_tpu.runtime.optim import make_map_optimizer
+    from coslam_tpu.runtime.tracking import make_tracking_step
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cfg = load_config(os.path.join(here, "configs", "Replica", "room0.yaml"))
+
+    H, W = cfg["cam"]["H"], cfg["cam"]["W"]
+    bb = np.array(cfg["mapping"]["bound"], np.float32)
+    model = JointEncoding(cfg, bb)
+    key = jax.random.PRNGKey(0)
+    params = model.init_params(key)
+
+    map_tx = make_map_optimizer(cfg)
+    opt_state = map_tx.init(params)
+
+    # Keyframe database at Replica room0 scale (2000 frames / every 5).
+    n_frames = 2000
+    num_kf = n_frames // cfg["mapping"]["keyframe_every"] + 1
+    rays_per_kf = int(H * W * cfg["mapping"]["n_pixels"])
+
+    rng = np.random.default_rng(0)
+
+    def rand_rays(n):
+        dirs = np.stack([rng.uniform(-0.8, 0.8, n), rng.uniform(-0.5, 0.5, n),
+                         -np.ones(n)], -1)
+        rgb = rng.uniform(0, 1, (n, 3))
+        depth = rng.uniform(0.5, 4.0, (n, 1))
+        return np.concatenate([dirs, rgb, depth], -1).astype(np.float32)
+
+    kf_rays = jnp.asarray(rand_rays(num_kf * rays_per_kf).reshape(
+        num_kf, rays_per_kf, 7))
+    kf_poses = jnp.tile(jnp.eye(4), (num_kf, 1, 1)).astype(jnp.float32)
+    cur_pose = jnp.eye(4, dtype=jnp.float32)
+    cur_rays = jnp.asarray(rand_rays(H * W))
+    c2w_init = jnp.eye(4, dtype=jnp.float32)
+    track_rays = jnp.asarray(rand_rays(cfg["tracking"]["sample"]))
+
+    track = make_tracking_step(model, cfg)
+    ba = make_ba_step(model, cfg, map_tx, num_kf, rays_per_kf, rays_per_kf)
+
+    def time_fn(fn, n_warmup=2, n_iter=10):
+        for _ in range(n_warmup):
+            out = fn()
+            jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            out = fn()
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n_iter * 1e3  # ms
+
+    kf_count = jnp.int32(100)  # mid-sequence database occupancy
+
+    track_ms = time_fn(lambda: track(params, c2w_init, track_rays, key))
+    ba_ms = time_fn(lambda: ba(params, opt_state, kf_rays, kf_count,
+                               kf_poses, cur_pose, cur_rays, key))
+
+    tracking_fps = 1000.0 / track_ms
+    mapping_fps = 1000.0 / ba_ms
+    # System throughput: track every frame + map every 5th frame.
+    system_fps = 1000.0 / (track_ms + ba_ms / cfg["mapping"]["map_every"])
+
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(json.dumps({
+        "metric": "tracking_fps_replica",
+        "value": round(tracking_fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(tracking_fps / 17.24, 3),
+        "tracking_ms_per_frame": round(track_ms, 2),
+        "mapping_ms_per_frame": round(ba_ms, 2),
+        "mapping_fps": round(mapping_fps, 2),
+        "mapping_fps_vs_baseline": round(mapping_fps / 10.20, 3),
+        "system_fps": round(system_fps, 2),
+        "n_params": int(n_params),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

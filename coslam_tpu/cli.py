@@ -1,0 +1,62 @@
+"""Command-line entry point: `python -m coslam_tpu --config <yaml>`.
+
+Parity with the reference CLI (reference: coslam.py:725-757): loads the
+YAML config (recursive inherit_from), applies --input_folder/--output
+overrides, snapshots the resolved config as JSON, seeds, and runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from datetime import datetime
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="coslam-tpu: TPU-native dense neural RGB-D SLAM")
+    parser.add_argument("--config", type=str, required=True,
+                        help="Path to config file.")
+    parser.add_argument("--input_folder", type=str,
+                        help="overrides data.datadir from the config")
+    parser.add_argument("--output", type=str,
+                        help="overrides data.output from the config")
+    parser.add_argument("--max_frames", type=int, default=None,
+                        help="process only the first N frames")
+    parser.add_argument("--ckpt", type=str, default=None,
+                        help="resume from a checkpoint .npz")
+    args = parser.parse_args(argv)
+
+    # Persistent compilation cache (first compile of the megasteps is slow).
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/coslam_tpu_xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from .config import load_config
+    from .runtime.slam import CoSLAM
+
+    cfg = load_config(args.config)
+    if args.input_folder is not None:
+        cfg["data"]["datadir"] = args.input_folder
+    if args.output is not None:
+        cfg["data"]["output"] = args.output
+
+    time_str = datetime.now().strftime("%m%d_%H%M")
+    save_path = os.path.join(cfg["data"]["output"],
+                             cfg["data"]["exp_name"] + time_str)
+    os.makedirs(save_path, exist_ok=True)
+    with open(os.path.join(save_path, "config.json"), "w",
+              encoding="utf-8") as f:
+        f.write(json.dumps(cfg, indent=4))
+
+    slam = CoSLAM(cfg)
+    slam.seed_everything(0)
+    if args.ckpt:
+        slam.load_checkpoint(args.ckpt)
+    slam.run(n_frames=args.max_frames)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,190 @@
+"""Reconstruction evaluation: 3D Acc/Comp/Comp-ratio + 2D depth L1.
+
+Port of the reference's vendored neural_slam_eval tooling (reference:
+evaluation/eval_recon.py) without open3d/trimesh: surface sampling and
+KDTree metrics via scipy, ICP alignment implemented directly, and depth
+rendering through the native z-buffer rasterizer (mesh/raster.py).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import Dict, Optional
+
+import numpy as np
+from scipy.spatial import cKDTree as KDTree
+
+from ..mesh.io import TriMesh, load_ply
+from ..mesh.raster import render_depth
+
+
+def normalize(x):
+    return x / np.linalg.norm(x)
+
+
+def viewmatrix(z, up, pos):
+    """Camera-to-world with +z = view direction (reference
+    evaluation/eval_recon.py:22-28)."""
+    vec2 = normalize(z)
+    vec0 = normalize(np.cross(up, vec2))
+    vec1 = normalize(np.cross(vec2, vec0))
+    return np.stack([vec0, vec1, vec2, pos], 1)
+
+
+def accuracy(gt_points, rec_points):
+    d, _ = KDTree(gt_points).query(rec_points)
+    return float(np.mean(d))
+
+
+def completion(gt_points, rec_points):
+    d, _ = KDTree(rec_points).query(gt_points)
+    return float(np.mean(d))
+
+
+def completion_ratio(gt_points, rec_points, dist_th=0.05):
+    d, _ = KDTree(rec_points).query(gt_points)
+    return float(np.mean((d < dist_th).astype(np.float32)))
+
+
+def icp_align(src_points: np.ndarray, dst_points: np.ndarray,
+              threshold: float = 0.1, max_iters: int = 30) -> np.ndarray:
+    """Point-to-point ICP: transform aligning src -> dst (replaces
+    open3d registration_icp, reference evaluation/eval_recon.py:52-70)."""
+    T = np.eye(4)
+    src = src_points.copy()
+    tree = KDTree(dst_points)
+    prev_err = np.inf
+    for _ in range(max_iters):
+        d, idx = tree.query(src)
+        mask = d < threshold
+        if mask.sum() < 10:
+            break
+        p, q = src[mask], dst_points[idx[mask]]
+        pc, qc = p.mean(0), q.mean(0)
+        W = (p - pc).T @ (q - qc)
+        U, _, Vt = np.linalg.svd(W)
+        S = np.eye(3)
+        if np.linalg.det(Vt.T @ U.T) < 0:
+            S[2, 2] = -1
+        R = Vt.T @ S @ U.T
+        t = qc - R @ pc
+        src = src @ R.T + t
+        step = np.eye(4)
+        step[:3, :3], step[:3, 3] = R, t
+        T = step @ T
+        err = float(d[mask].mean())
+        if abs(prev_err - err) < 1e-7:
+            break
+        prev_err = err
+    return T
+
+
+def calc_3d_metric(rec_meshfile: str, gt_meshfile: str, align: bool = True,
+                   n_samples: int = 200000, seed: int = 0) -> Dict:
+    """Acc/Comp/Comp-ratio between reconstructed and GT meshes in cm/%
+    (reference evaluation/eval_recon.py:102-156)."""
+    mesh_rec = load_ply(rec_meshfile)
+    mesh_gt = load_ply(gt_meshfile)
+    rng = np.random.default_rng(seed)
+
+    if align:
+        T = icp_align(mesh_rec.vertices, mesh_gt.vertices)
+        mesh_rec = TriMesh(mesh_rec.vertices @ T[:3, :3].T + T[:3, 3],
+                           mesh_rec.faces)
+
+    rec_pc = mesh_rec.sample_surface(n_samples, rng)
+    gt_pc = mesh_gt.sample_surface(n_samples, rng)
+
+    return {
+        "acc": accuracy(gt_pc, rec_pc) * 100,
+        "comp": completion(gt_pc, rec_pc) * 100,
+        "comp ratio": completion_ratio(gt_pc, rec_pc) * 100,
+    }
+
+
+def sample_eval_poses(mesh_gt: TriMesh, pc_unseen: Optional[np.ndarray],
+                      n_imgs: int, H: int, W: int, fx, fy, cx, cy,
+                      sx=0.3, sy=0.6, sz=0.6, seed: int = 0):
+    """Sample camera poses in the scene's free interior that do not look at
+    unseen regions (reference evaluation/eval_recon.py:253-276)."""
+    rng = random.Random(seed)
+    nprng = np.random.default_rng(seed)
+    lo = mesh_gt.vertices.min(0)
+    hi = mesh_gt.vertices.max(0)
+    center = 0.5 * (lo + hi)
+    half = 0.5 * (hi - lo) * np.array([sx, sy, sz])
+
+    poses = []
+    attempts = 0
+    while len(poses) < n_imgs and attempts < n_imgs * 200:
+        attempts += 1
+        origin = center + nprng.uniform(-1, 1, 3) * half
+        target = np.array([rng.uniform(-1e4, 1e4) for _ in range(3)])
+        c2w = np.eye(4)
+        c2w[:3, :] = viewmatrix(target - origin, [0, 0, -1], origin)
+        if pc_unseen is not None and len(pc_unseen):
+            if _sees_points(pc_unseen, c2w, H, W, fx, fy, cx, cy):
+                continue
+        poses.append(c2w)
+    return poses
+
+
+def _sees_points(points, c2w, H, W, fx, fy, cx, cy) -> bool:
+    """True if any point projects inside the view (reference check_proj,
+    evaluation/eval_recon.py:74-100)."""
+    cv = c2w.copy()
+    cv[:3, 1] *= -1
+    cv[:3, 2] *= -1
+    w2c = np.linalg.inv(cv)
+    cam = points @ w2c[:3, :3].T + w2c[:3, 3]
+    cam[:, 0] *= -1
+    z = cam[:, 2] + 1e-5
+    u = fx * cam[:, 0] / z + cx
+    v = fy * cam[:, 1] / z + cy
+    mask = (0 <= -z) & (u < W) & (u > 0) & (v < H) & (v > 0)
+    return bool(mask.sum() > 0)
+
+
+def calc_2d_metric(rec_meshfile: str, gt_meshfile: str,
+                   unseen_gt_pcd_file: Optional[str] = None,
+                   align: bool = True, n_imgs: int = 1000,
+                   not_counting_missing_depth: bool = True,
+                   seed: int = 0) -> Dict:
+    """Mean depth-L1 over sampled virtual views in cm (reference
+    evaluation/eval_recon.py:174-340). Views: 500x500, focal 300."""
+    H = W = 500
+    fx = fy = 300.0
+    cx = cy = H / 2.0 - 0.5
+
+    mesh_gt = load_ply(gt_meshfile)
+    mesh_rec = load_ply(rec_meshfile)
+    pc_unseen = (np.load(unseen_gt_pcd_file)
+                 if unseen_gt_pcd_file and os.path.exists(unseen_gt_pcd_file)
+                 else None)
+
+    if align:
+        T = icp_align(mesh_rec.vertices, mesh_gt.vertices)
+        mesh_rec = TriMesh(mesh_rec.vertices @ T[:3, :3].T + T[:3, 3],
+                           mesh_rec.faces)
+
+    poses = sample_eval_poses(mesh_gt, pc_unseen, n_imgs, H, W, fx, fy,
+                              cx, cy, seed=seed)
+    errors = []
+    for c2w in poses:
+        # viewmatrix already yields +z-forward cameras; w2c directly.
+        w2c = np.linalg.inv(c2w).astype(np.float32)
+        gt_d = render_depth(mesh_gt.vertices, mesh_gt.faces, w2c,
+                            fx, fy, cx, cy, H, W)
+        rec_d = render_depth(mesh_rec.vertices, mesh_rec.faces, w2c,
+                             fx, fy, cx, cy, H, W)
+        if not_counting_missing_depth:
+            mask = (gt_d > 0) & (gt_d < 19.0)
+            if mask.sum() == 0:
+                continue
+            errors.append(float(np.abs(gt_d[mask] - rec_d[mask]).mean()))
+        else:
+            errors.append(float(np.abs(gt_d - rec_d).mean()))
+
+    return {"depth l1": float(np.mean(errors)) * 100 if errors else np.nan,
+            "n_views": len(errors)}

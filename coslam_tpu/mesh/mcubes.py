@@ -23,6 +23,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "native", "mc.cpp")
+_SRC_RASTER = os.path.join(_HERE, "native", "raster.cpp")
 _LIB_PATH = os.path.join(_HERE, "native", "libmc.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -34,11 +35,12 @@ def _build_native() -> Optional[ctypes.CDLL]:
     if _build_failed:
         return None
     try:
+        newest_src = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC_RASTER))
         if (not os.path.exists(_LIB_PATH)
-                or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
+                or os.path.getmtime(_LIB_PATH) < newest_src):
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-std=c++17", _SRC, "-o", _LIB_PATH],
+                 "-std=c++17", _SRC, _SRC_RASTER, "-o", _LIB_PATH],
                 check=True, capture_output=True)
         lib = ctypes.CDLL(_LIB_PATH)
         lib.mc_run.restype = ctypes.c_void_p

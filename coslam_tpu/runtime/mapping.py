@@ -48,13 +48,17 @@ def _masked_opt_update(tx, grads, opt_state, params, enable):
     return params, opt_state
 
 
-def make_first_frame_step(model, config: Dict, map_tx, H: int, W: int):
+def make_first_frame_step(model, config: Dict, map_tx, H: int, W: int,
+                          mesh=None):
     """Jitted map-only optimization on one frame with a fixed pose.
 
     step(map_params, map_opt_state, c2w, frame_rays [H*W, 7], key, n_iters)
     runs `mapping.first_iters` iterations (reference coslam.py:162-207)
-    in one dispatch. n_iters is static (baked per call site).
+    in one dispatch. n_iters is static (baked per call site). With a
+    device mesh, the per-iteration ray batch is sharded over 'dp'.
     """
+    from ..parallel.sharding import maybe_shard
+
     mcfg = config["mapping"]
     sample = int(mcfg["sample"])
     weights = config["training"]
@@ -68,9 +72,11 @@ def make_first_frame_step(model, config: Dict, map_tx, H: int, W: int):
         t = c2w[:3, 3]
 
         def loss_fn(mp, idx, k):
-            rays_d = dirs_all[idx] @ Rm.T
+            rays_d = maybe_shard(dirs_all[idx] @ Rm.T, mesh)
             rays_o = jnp.broadcast_to(t, rays_d.shape)
-            ret = model.forward(mp, k, rays_o, rays_d, rgb_all[idx], d_all[idx])
+            ret = model.forward(mp, k, rays_o, rays_d,
+                                maybe_shard(rgb_all[idx], mesh),
+                                maybe_shard(d_all[idx], mesh))
             return L.total_loss(ret, weights), ret["psnr"]
 
         def body(carry, k):
@@ -93,7 +99,7 @@ def make_first_frame_step(model, config: Dict, map_tx, H: int, W: int):
 
 
 def make_ba_step(model, config: Dict, map_tx, max_kf: int, rays_per_kf: int,
-                 n_pixels: int):
+                 n_pixels: int, mesh=None):
     """Build the jitted global-BA megastep.
 
     step(map_params, map_opt_state, kf_rays [max_kf, R, 7], kf_count,
@@ -101,6 +107,8 @@ def make_ba_step(model, config: Dict, map_tx, max_kf: int, rays_per_kf: int,
       -> (map_params, map_opt_state, new_kf_poses, new_cur_pose,
           last_loss)
     """
+    from ..parallel.sharding import maybe_shard
+
     mcfg = config["mapping"]
     sample = int(mcfg["sample"])
     maxcur = sample  # quota max: sample // 1 when only one keyframe exists
@@ -174,11 +182,12 @@ def make_ba_step(model, config: Dict, map_tx, max_kf: int, rays_per_kf: int,
             cur_ray = cur_rays[cur_idx]
             cur_mask = jnp.arange(maxcur) < n_cur_quota
 
-            ray_data = jnp.concatenate([kf_ray, cur_ray], axis=0)
-            ray_ids = jnp.concatenate(
-                [kf_ids, jnp.full((maxcur,), max_kf, jnp.int32)])
-            ray_mask = jnp.concatenate(
-                [jnp.ones((sample,)), cur_mask.astype(jnp.float32)])
+            ray_data = maybe_shard(
+                jnp.concatenate([kf_ray, cur_ray], axis=0), mesh)
+            ray_ids = maybe_shard(jnp.concatenate(
+                [kf_ids, jnp.full((maxcur,), max_kf, jnp.int32)]), mesh)
+            ray_mask = maybe_shard(jnp.concatenate(
+                [jnp.ones((sample,)), cur_mask.astype(jnp.float32)]), mesh)
 
             loss, (pose_grads, map_grads) = jax.value_and_grad(
                 loss_fn, argnums=(0, 1))(pp, mp, ray_data, ray_ids,

@@ -31,13 +31,18 @@ from ..ops import pose as P
 from .optim import make_pose_optimizer
 
 
-def make_tracking_step(model, config: Dict):
+def make_tracking_step(model, config: Dict, mesh=None):
     """Build the jitted per-frame tracking function.
 
     Returned signature:
         step(params, c2w_init [4,4], rays [S,7], key)
             -> (c2w [4,4], last_loss, last_psnr)
+
+    With a device mesh, the ray batch is sharded over 'dp' (params
+    replicated; XLA reduces the pose gradient over ICI).
     """
+    from ..parallel.sharding import maybe_shard
+
     tcfg = config["tracking"]
     n_iter = int(tcfg["iter"])
     use_best = bool(tcfg["best"])
@@ -54,9 +59,9 @@ def make_tracking_step(model, config: Dict):
               "trans": c2w_init[:3, 3][None]}
         opt_state = tx.init(pp)
 
-        dirs = rays[:, :3]
-        target_rgb = rays[:, 3:6]
-        target_d = rays[:, 6:7]
+        dirs = maybe_shard(rays[:, :3], mesh)
+        target_rgb = maybe_shard(rays[:, 3:6], mesh)
+        target_d = maybe_shard(rays[:, 6:7], mesh)
 
         def loss_fn(pp, k):
             c2w = mat_from_tensor(pp["rot"], pp["trans"])[0]

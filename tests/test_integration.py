@@ -1,0 +1,161 @@
+"""End-to-end integration: mapping-only quality, tracking recovery, full
+SLAM loop wiring on a small analytic scene.
+
+These mirror the reference's evaluation-as-test strategy (SURVEY §4) at
+CPU-friendly sizes.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coslam_tpu.data.synth import (AnalyticScene, make_synthetic_config,
+                                   make_trajectory, render_frame,
+                                   write_replica_format)
+from coslam_tpu.models.scene_rep import JointEncoding
+from coslam_tpu.ops.rays import get_camera_rays
+from coslam_tpu.runtime.mapping import make_first_frame_step
+from coslam_tpu.runtime.optim import make_map_optimizer
+from coslam_tpu.runtime.slam import CoSLAM
+from coslam_tpu.runtime.tracking import make_tracking_step
+
+
+@pytest.fixture(scope="module")
+def trained_scene(tmp_path_factory):
+    """Scene rep trained on one GT-pose frame (the minimum e2e slice)."""
+    d = tmp_path_factory.mktemp("map")
+    cfg = make_synthetic_config(str(d / "s"), str(d / "o"), H=40, W=52)
+    cfg["mapping"]["first_iters"] = 400
+    scene = AnalyticScene()
+    pose0 = make_trajectory(4)[0]
+    cam = cfg["cam"]
+    bb = np.array(cfg["mapping"]["bound"], np.float32)
+
+    model = JointEncoding(cfg, bb)
+    params = model.init_params(jax.random.PRNGKey(0))
+    tx = make_map_optimizer(cfg)
+    opt_state = tx.init(params)
+    step = make_first_frame_step(model, cfg, tx, cam["H"], cam["W"])
+
+    rgb, depth = render_frame(scene, pose0, cam["H"], cam["W"], cam["fx"],
+                              cam["fy"], cam["cx"], cam["cy"])
+    dirs = get_camera_rays(cam["H"], cam["W"], cam["fx"], cam["fy"],
+                           cam["cx"], cam["cy"])
+    frame = np.concatenate([dirs.reshape(-1, 3), rgb.reshape(-1, 3),
+                            depth.reshape(-1, 1)], 1).astype(np.float32)
+    params, _, loss, psnr = step(params, opt_state, jnp.asarray(pose0),
+                                 jnp.asarray(frame), jax.random.PRNGKey(1))
+    return cfg, scene, pose0, model, params, (rgb, depth, dirs), float(psnr)
+
+
+def test_mapping_converges(trained_scene):
+    cfg, scene, pose0, model, params, (rgb, depth, dirs), psnr = trained_scene
+    assert psnr > 28.0  # RGB fits
+
+    # Rendered depth close to sensor depth on a ray subset.
+    rng = np.random.default_rng(0)
+    idx = rng.choice(dirs.reshape(-1, 3).shape[0], 256, replace=False)
+    dd = dirs.reshape(-1, 3)[idx]
+    zz = depth.reshape(-1)[idx]
+    rays_d = dd @ pose0[:3, :3].T
+    rays_o = np.broadcast_to(pose0[:3, 3], rays_d.shape)
+    ret = model.render_rays(params, jax.random.PRNGKey(0),
+                            jnp.asarray(rays_o), jnp.asarray(rays_d),
+                            jnp.asarray(zz[:, None]))
+    depth_err = np.abs(np.asarray(ret["depth"]) - zz)
+    assert np.median(depth_err) < 0.02  # 2 cm at scene scale
+
+
+def test_mesh_from_trained_map(trained_scene, tmp_path):
+    cfg, scene, pose0, model, params, (rgb, depth, dirs), _ = trained_scene
+    from scipy.spatial import cKDTree
+
+    from coslam_tpu.mesh.extract import extract_mesh
+
+    bb = np.array(cfg["mapping"]["bound"], np.float32)
+    mesh = extract_mesh(model, params, cfg, bb, color_func=model.query_color,
+                        voxel_size=0.1,
+                        mesh_savepath=str(tmp_path / "m.ply"))
+    assert len(mesh.vertices) > 100
+    assert mesh.vertex_colors is not None
+    assert os.path.exists(tmp_path / "m.ply")
+    # Completion: surface points observed by frame 0 must be covered by the
+    # mesh. (Unobserved space stays near SDF~0 and emits spurious geometry
+    # — same as the reference; that is what mesh culling is for.)
+    rays_d = dirs.reshape(-1, 3) @ pose0[:3, :3].T
+    surf = pose0[:3, 3][None] + rays_d * depth.reshape(-1, 1)
+    d, _ = cKDTree(mesh.vertices).query(surf[::7])
+    assert np.median(d) < 0.06
+
+
+def test_tracking_recovers_pose(trained_scene):
+    cfg, scene, pose0, model, params, (rgb, depth, dirs), _ = trained_scene
+    cfg = {**cfg, "tracking": {**cfg["tracking"], "iter": 30, "best": True,
+                               "lr_rot": 0.002, "lr_trans": 0.002}}
+    track = make_tracking_step(model, cfg)
+
+    rng = np.random.default_rng(3)
+    pert = pose0.copy()
+    pert[:3, 3] += np.array([0.01, -0.008, 0.012])
+    init_err = np.abs(pert[:3] - pose0[:3]).mean()
+
+    iH, iW = 4, 4
+    dd = dirs[iH:-iH, iW:-iW].reshape(-1, 3)
+    rr = rgb[iH:-iH, iW:-iW].reshape(-1, 3)
+    zz = depth[iH:-iH, iW:-iW].reshape(-1, 1)
+    idx = rng.choice(dd.shape[0], cfg["tracking"]["sample"], replace=False)
+    rays = np.concatenate([dd[idx], rr[idx], zz[idx]], 1).astype(np.float32)
+
+    c2w, loss, psnr = track(params, jnp.asarray(pert), jnp.asarray(rays),
+                            jax.random.PRNGKey(0))
+    # Judge recovery on the translation (the injected perturbation);
+    # rotation jitters within the render-noise floor.
+    init_terr = np.abs(pert[:3, 3] - pose0[:3, 3]).mean()
+    final_terr = np.abs(np.asarray(c2w)[:3, 3] - pose0[:3, 3]).mean()
+    assert final_terr < 0.5 * init_terr
+    del init_err
+
+
+def test_full_slam_loop(tmp_path):
+    """Wiring test: 12-frame sequence through the full pipeline."""
+    datadir = str(tmp_path / "scene")
+    cfg = make_synthetic_config(datadir, str(tmp_path / "out"), H=40, W=52,
+                                n_frames=12)
+    cfg["mapping"]["first_iters"] = 150
+    cfg["mesh"]["vis"] = 0
+    scene = AnalyticScene()
+    poses = make_trajectory(12, orbit_fraction=0.02)
+    cam = cfg["cam"]
+    write_replica_format(datadir, scene, poses, cam["H"], cam["W"],
+                         cam["fx"], cam["fy"], cam["cx"], cam["cy"])
+
+    slam = CoSLAM(cfg)
+    res = slam.run(verbose=False, eval_ate=True)
+    ate = res["absolute_translational_error.rmse"]
+    assert np.isfinite(ate)
+    assert ate < 0.05  # stays within 5 cm on an easy sequence
+    # Keyframes registered every keyframe_every frames (+ frame 0).
+    assert slam.kf_db.count == 3
+    # Checkpoint + final artifacts exist.
+    out = os.path.join(cfg["data"]["output"], cfg["data"]["exp_name"])
+    assert any(f.startswith("checkpoint") for f in os.listdir(out))
+    assert os.path.exists(os.path.join(out, "output.txt"))
+
+
+def test_checkpoint_roundtrip(tmp_path, trained_scene):
+    cfg, scene, pose0, model, params, _, _ = trained_scene
+    from coslam_tpu.runtime.checkpoint import load_ckpt, save_ckpt
+
+    est = np.tile(np.eye(4, dtype=np.float32), (5, 1, 1))
+    rel = {1: np.asarray(pose0, np.float32)}
+    p = str(tmp_path / "ck.npz")
+    save_ckpt(p, params, est, rel)
+    params2, est2, rel2 = load_ckpt(p)
+    np.testing.assert_array_equal(est, est2)
+    np.testing.assert_allclose(rel[1], rel2[1])
+    l1 = jax.tree_util.tree_leaves(params)
+    l2 = jax.tree_util.tree_leaves(params2)
+    assert all(np.allclose(a, b) for a, b in zip(l1, l2))
