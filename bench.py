@@ -72,21 +72,32 @@ def main():
     track = make_tracking_step(model, cfg)
     ba = make_ba_step(model, cfg, map_tx, num_kf, rays_per_kf, rays_per_kf)
 
+    def _sync_scalar(out):
+        """Force execution to completion by fetching ONE scalar derived
+        from the output (block_until_ready does not reliably wait on
+        tunneled devices, and fetching large outputs would measure the
+        tunnel, not the chip)."""
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(jnp.sum(leaf))
+
     def time_fn(fn, n_warmup=2, n_iter=10):
         for _ in range(n_warmup):
-            out = fn()
-            jax.block_until_ready(out)
+            _sync_scalar(fn())
         t0 = time.perf_counter()
         for _ in range(n_iter):
             out = fn()
-        jax.block_until_ready(out)
+        _sync_scalar(out)  # drain the dispatch queue
         return (time.perf_counter() - t0) / n_iter * 1e3  # ms
 
     kf_count = jnp.int32(100)  # mid-sequence database occupancy
 
-    track_ms = time_fn(lambda: track(params, c2w_init, track_rays, key))
-    ba_ms = time_fn(lambda: ba(params, opt_state, kf_rays, kf_count,
-                               kf_poses, cur_pose, cur_rays, key))
+    # Return only the scalar loss from the timed closures so the timing
+    # excludes host<->device transfer of poses/params.
+    track_ms = time_fn(
+        lambda: track(params, c2w_init, track_rays, key)[1])
+    ba_ms = time_fn(
+        lambda: ba(params, opt_state, kf_rays, kf_count,
+                   kf_poses, cur_pose, cur_rays, key)[4])
 
     tracking_fps = 1000.0 / track_ms
     mapping_fps = 1000.0 / ba_ms

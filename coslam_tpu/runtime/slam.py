@@ -50,7 +50,7 @@ class CoSLAM:
         self.pose_gt = {i: np.asarray(p, np.float32)
                         for i, p in enumerate(self.dataset.poses)}
 
-        self.model = JointEncoding(config, self.bounding_box)
+        self.model = self._make_model(config)
         self.key = jax.random.PRNGKey(0)
         self.params = self.model.init_params(self._next_key())
 
@@ -76,6 +76,10 @@ class CoSLAM:
                         "first_frame": []}
 
     # -- helpers --------------------------------------------------------------
+
+    def _make_model(self, config: Dict):
+        """Hook for variants (ActiveCoSLAM overrides with the beta-head model)."""
+        return JointEncoding(config, self.bounding_box)
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)

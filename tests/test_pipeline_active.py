@@ -1,0 +1,73 @@
+"""Concurrent tracker/mapper pipeline + ActiveCoSLAM variant + dataset algebra."""
+
+import numpy as np
+import pytest
+
+from coslam_tpu.data.synth import (AnalyticScene, make_synthetic_config,
+                                   make_trajectory, write_replica_format)
+
+
+@pytest.fixture(scope="module")
+def small_seq(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pipe")
+    datadir = str(d / "scene")
+    cfg = make_synthetic_config(datadir, str(d / "out"), H=40, W=52,
+                                n_frames=12)
+    cfg["mapping"]["first_iters"] = 60
+    cfg["mesh"]["vis"] = 0
+    scene = AnalyticScene()
+    poses = make_trajectory(12, orbit_fraction=0.02)
+    cam = cfg["cam"]
+    write_replica_format(datadir, scene, poses, cam["H"], cam["W"],
+                         cam["fx"], cam["fy"], cam["cx"], cam["cy"])
+    return cfg
+
+
+def test_pipelined_slam(small_seq):
+    from coslam_tpu.runtime.pipeline import PipelinedCoSLAM
+
+    cfg = dict(small_seq)
+    slam = PipelinedCoSLAM(cfg)
+    res = slam.run(verbose=False, eval_ate=True)
+    ate = res["absolute_translational_error.rmse"]
+    assert np.isfinite(ate) and ate < 0.08
+    assert slam.kf_db.count >= 2
+    assert slam.mapping_idx >= 10
+    assert slam.tracking_idx == 11
+
+
+def test_active_coslam(small_seq):
+    from coslam_tpu.active.slam import ActiveCoSLAM
+
+    cfg = dict(small_seq)
+    cfg["active"] = {"isActive": True, "check_info_gain_every": 5,
+                     "init_image": 5, "choose_k": 1, "w": 0.01,
+                     "downsample_rate": 4, "beta_min": 0.01}
+    slam = ActiveCoSLAM(cfg)
+    res = slam.run(verbose=False, eval_ate=True)
+    assert np.isfinite(res["absolute_translational_error.rmse"])
+    assert slam.kf_db.count >= 3  # 0, 5 (cadence) + info-gain picks
+
+    # Uncertainty channel behaves: beta positive, test() returns uncert_map.
+    batch = slam.dataset[5]
+    ret = slam.test(batch, 5)
+    assert (ret["uncert_map"] > 0).all()
+    assert np.isfinite(ret["rgb_loss"])
+
+
+def test_dataset_algebra(small_seq):
+    from coslam_tpu.data import get_dataset
+
+    ds = get_dataset(small_seq)
+    v = ds.slice(range(2, 6))
+    assert len(v) == 4
+    assert v[0]["frame_id"] == 2
+    v2 = v.remove([0])
+    assert len(v2) == 3 and v2[0]["frame_id"] == 3
+    both = v + v2
+    assert len(both) == 7
+    assert both[4]["frame_id"] == 3  # first of second part
+    exc = ds.slice_except([0, 1])
+    assert len(exc) == len(ds) - 2
+    # attribute passthrough
+    assert v.H == ds.H and both.W == ds.W
