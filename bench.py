@@ -52,22 +52,25 @@ def main():
     num_kf = n_frames // cfg["mapping"]["keyframe_every"] + 1
     rays_per_kf = int(H * W * cfg["mapping"]["n_pixels"])
 
-    rng = np.random.default_rng(0)
+    # Generate ALL buffers on device (the keyframe reservoir is ~0.5 GB —
+    # uploading it through a tunneled device link would swamp the wire).
+    @jax.jit
+    def rand_rays(key, n):
+        k1, k2, k3 = jax.random.split(key, 3)
+        dirs = jnp.concatenate(
+            [jax.random.uniform(k1, (n, 2), minval=-0.8, maxval=0.8),
+             -jnp.ones((n, 1))], axis=-1)
+        rgb = jax.random.uniform(k2, (n, 3))
+        depth = jax.random.uniform(k3, (n, 1), minval=0.5, maxval=4.0)
+        return jnp.concatenate([dirs, rgb, depth], -1)
 
-    def rand_rays(n):
-        dirs = np.stack([rng.uniform(-0.8, 0.8, n), rng.uniform(-0.5, 0.5, n),
-                         -np.ones(n)], -1)
-        rgb = rng.uniform(0, 1, (n, 3))
-        depth = rng.uniform(0.5, 4.0, (n, 1))
-        return np.concatenate([dirs, rgb, depth], -1).astype(np.float32)
-
-    kf_rays = jnp.asarray(rand_rays(num_kf * rays_per_kf).reshape(
-        num_kf, rays_per_kf, 7))
+    kf_rays = rand_rays(jax.random.PRNGKey(1),
+                        num_kf * rays_per_kf).reshape(num_kf, rays_per_kf, 7)
     kf_poses = jnp.tile(jnp.eye(4), (num_kf, 1, 1)).astype(jnp.float32)
     cur_pose = jnp.eye(4, dtype=jnp.float32)
-    cur_rays = jnp.asarray(rand_rays(H * W))
+    cur_rays = rand_rays(jax.random.PRNGKey(2), H * W)
     c2w_init = jnp.eye(4, dtype=jnp.float32)
-    track_rays = jnp.asarray(rand_rays(cfg["tracking"]["sample"]))
+    track_rays = rand_rays(jax.random.PRNGKey(3), cfg["tracking"]["sample"])
 
     track = make_tracking_step(model, cfg)
     ba = make_ba_step(model, cfg, map_tx, num_kf, rays_per_kf, rays_per_kf)

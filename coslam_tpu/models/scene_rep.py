@@ -49,11 +49,14 @@ class JointEncoding:
         (self._pos_init, self._pos_apply, self.input_ch_pos, _
          ) = enc.make_encoder(config["pos"]["enc"], n_bins=config["pos"]["n_bins"])
 
-        # Sparse parametric encoding (SDF grid).
+        # Sparse parametric encoding (SDF grid). grad_impl selects the
+        # table-gradient path ('onehot' = MXU matmul, default on TPU).
+        grad_impl = config["grid"].get("grad_impl", "auto")
         (self._grid_init, self._grid_apply, self.input_ch, self.grid_spec
          ) = enc.make_encoder(config["grid"]["enc"],
                               log2_hashmap_size=config["grid"]["hash_size"],
-                              desired_resolution=self.resolution_sdf)
+                              desired_resolution=self.resolution_sdf,
+                              grad_impl=grad_impl)
 
         self.one_grid = bool(config["grid"]["oneGrid"])
         if not self.one_grid:
@@ -61,7 +64,8 @@ class JointEncoding:
              self.color_grid_spec) = enc.make_encoder(
                 config["grid"]["enc"],
                 log2_hashmap_size=config["grid"]["hash_size"],
-                desired_resolution=self.resolution_color)
+                desired_resolution=self.resolution_color,
+                grad_impl=grad_impl)
         else:
             self.input_ch_color = 0
 

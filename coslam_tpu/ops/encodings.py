@@ -169,6 +169,76 @@ def hashgrid_encode(spec: HashGridSpec, table: jnp.ndarray,
     return out.reshape(x.shape[0], spec.out_dim)
 
 
+def _hash_corners_and_weights(spec: HashGridSpec, x: jnp.ndarray):
+    """Shared helper: (flat corner rows [N, L, 8], trilinear weights [N, L, 8])."""
+    x = jnp.clip(x, 0.0, 1.0)
+    res = jnp.array(spec.resolutions, dtype=x.dtype)
+    pos = x[:, None, :] * res[None, :, None]
+    grid_i = jnp.floor(pos).astype(jnp.int32)
+    w = pos - grid_i.astype(x.dtype)
+    idx = _corner_indices(spec, grid_i)
+    corners = jnp.array(
+        [[(c >> 2) & 1, (c >> 1) & 1, c & 1] for c in range(8)], dtype=x.dtype)
+    cw = corners[None, None, :, :] * w[:, :, None, :] + \
+        (1.0 - corners[None, None, :, :]) * (1.0 - w[:, :, None, :])
+    weight = cw[..., 0] * cw[..., 1] * cw[..., 2]
+    return idx, weight
+
+
+def make_hashgrid_encode_mxu(spec: HashGridSpec):
+    """Hash-grid encoding with an MXU-friendly custom backward.
+
+    XLA lowers the table-gradient scatter-add to a serialized per-update
+    loop on TPU (no atomics), which is orders of magnitude too slow for
+    the BA inner loop. This variant computes dL/dtable per level as a
+    fused one-hot matmul
+
+        dT_l = one_hot(idx_l, T_l)^T @ (w_l * g_l)        (bf16 on MXU)
+
+    — the standard TPU formulation of embedding-gradient accumulation.
+    The point-gradient path (dL/dx) contains no scatter and uses plain
+    autodiff. Forward numerics are identical to hashgrid_encode.
+    """
+
+    @jax.custom_vjp
+    def encode(table, x):
+        return hashgrid_encode(spec, table, x)
+
+    def fwd(table, x):
+        return hashgrid_encode(spec, table, x), (table, x)
+
+    def bwd(res, g):
+        table, x = res
+        # dL/dx via autodiff of the gather-only path (no scatter inside).
+        _, vjp_x = jax.vjp(
+            lambda xx: hashgrid_encode(spec, jax.lax.stop_gradient(table), xx),
+            x)
+        (dx,) = vjp_x(g)
+
+        idx, weight = _hash_corners_and_weights(spec, x)   # [N, L, 8]
+        g_lv = g.reshape(-1, spec.n_levels, spec.n_features)  # [N, L, F]
+        # Per-corner update values: w * g  -> [N, L, 8, F]
+        vals = weight[..., None] * g_lv[:, :, None, :]
+
+        parts = []
+        for lvl in range(spec.n_levels):
+            t_l = (spec.offsets[lvl + 1] if lvl + 1 < spec.n_levels
+                   else spec.total_entries) - spec.offsets[lvl]
+            idx_l = (idx[:, lvl, :] - spec.offsets[lvl]).reshape(-1)  # [N*8]
+            vals_l = vals[:, lvl].reshape(-1, spec.n_features)        # [N*8, F]
+            onehot = jax.nn.one_hot(idx_l, t_l, dtype=jnp.bfloat16)
+            dT_l = jax.lax.dot_general(
+                onehot, vals_l.astype(jnp.bfloat16),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            parts.append(dT_l)
+        dtable = jnp.concatenate(parts, axis=0).astype(table.dtype)
+        return dtable, dx
+
+    encode.defvjp(fwd, bwd)
+    return encode
+
+
 # ---------------------------------------------------------------------------
 # Coordinate encodings (pure XLA)
 # ---------------------------------------------------------------------------
@@ -246,11 +316,23 @@ def sh_encode(d: jnp.ndarray, degree: int = 4) -> jnp.ndarray:
 # Factory (parity with reference get_encoder, model/encodings.py:6-97)
 # ---------------------------------------------------------------------------
 
+def _grid_apply_fn(spec: HashGridSpec, grad_impl: str = "auto"):
+    """Pick the table-gradient implementation: 'scatter' (XLA autodiff),
+    'onehot' (MXU matmul custom VJP), or 'auto' (onehot on TPU)."""
+    if grad_impl == "auto":
+        grad_impl = ("onehot" if jax.default_backend() not in ("cpu", "gpu")
+                     else "scatter")
+    if grad_impl == "onehot":
+        enc = make_hashgrid_encode_mxu(spec)
+        return lambda p, x: enc(p, x)
+    return lambda p, x: hashgrid_encode(spec, p, x)
+
+
 def make_encoder(encoding: str, input_dim: int = 3, degree: int = 4,
                  n_bins: int = 16, n_frequencies: int = 12,
                  n_levels: int = 16, level_dim: int = 2,
                  base_resolution: int = 16, log2_hashmap_size: int = 19,
-                 desired_resolution: int = 512):
+                 desired_resolution: int = 512, grad_impl: str = "auto"):
     """Return (init_fn(key) -> params|None, apply_fn(params, x), out_dim).
 
     Recognized names (case-insensitive substring match, like the
@@ -263,7 +345,7 @@ def make_encoder(encoding: str, input_dim: int = 3, degree: int = 4,
                                   n_levels=4, n_features=level_dim,
                                   base_resolution=base_resolution, dense_only=True)
         return (lambda key: init_hashgrid(key, spec),
-                lambda p, x: hashgrid_encode(spec, p, x),
+                _grid_apply_fn(spec, grad_impl),
                 spec.out_dim, spec)
 
     if "hash" in name or "tiled" in name:
@@ -271,7 +353,7 @@ def make_encoder(encoding: str, input_dim: int = 3, degree: int = 4,
                                   n_levels=n_levels, n_features=level_dim,
                                   base_resolution=base_resolution)
         return (lambda key: init_hashgrid(key, spec),
-                lambda p, x: hashgrid_encode(spec, p, x),
+                _grid_apply_fn(spec, grad_impl),
                 spec.out_dim, spec)
 
     if "spherical" in name:

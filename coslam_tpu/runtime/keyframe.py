@@ -77,3 +77,69 @@ class KeyFrameDatabase:
                                  self.count * self.num_rays_to_save)
         flat = self.rays.reshape(-1, 7)
         return flat[idx], idx // self.num_rays_to_save
+
+    def sample_global_keyframe(self, key, window_size: int, n_fixed: int = 1):
+        """Windowed keyframe sampling: `window_size` random keyframes plus
+        the last `n_fixed` (reference model/keyframe.py:108-127).
+        Returns (rays [k, R, 7], slot indices list)."""
+        if window_size >= self.count:
+            slots = list(range(self.count))
+            return self.rays[:self.count], slots
+        perm = np.asarray(jax.random.permutation(key, self.count - n_fixed))
+        slots = list(perm[:window_size]) + list(
+            range(self.count - n_fixed, self.count))
+        return self.rays[np.asarray(slots)], slots
+
+    def sample_overlap_keyframe(self, batch: Dict, frame_id: int,
+                                est_c2w_list, k_frame: int,
+                                n_samples: int = 16, n_pixel: int = 100,
+                                config: Dict = None, rng=None):
+        """NICE-SLAM-style overlap-based keyframe selection (reference
+        model/keyframe.py:129-222, unused by the main loop): sample pixels
+        of the current frame, march points along their rays, and rank
+        keyframes by the fraction of points projecting into their view.
+        Host/numpy: runs rarely and is branch-heavy."""
+        cfg = config or self.config
+        rng = rng or np.random.default_rng(0)
+        c2w_est = np.asarray(est_c2w_list[frame_id], np.float64)
+
+        H, W = self.H, self.W
+        idx = rng.integers(0, H * W, n_pixel)
+        dirs = np.asarray(batch["direction"]).reshape(-1, 3)[idx]
+        depth = np.asarray(batch["depth"]).reshape(-1, 1)[idx]
+        rays_d = dirs @ c2w_est[:3, :3].T
+        rays_o = c2w_est[:3, 3][None]
+
+        t_vals = np.linspace(0.0, 1.0, n_samples)
+        near = depth * 0.8
+        far = depth + 0.5
+        z_vals = near * (1 - t_vals)[None] + far * t_vals[None]  # [P, S]
+        pts = (rays_o[:, None, :] + rays_d[:, None, :]
+               * z_vals[..., None]).reshape(-1, 3)
+
+        fx, fy = cfg["cam"]["fx"], cfg["cam"]["fy"]
+        cx, cy = cfg["cam"]["cx"], cfg["cam"]["cy"]
+        Wc, Hc = cfg["cam"]["W"], cfg["cam"]["H"]
+        edge = 20
+
+        scored = []
+        for slot in range(self.count):
+            fid = int(self.frame_ids[slot])
+            c2w = np.asarray(est_c2w_list[fid], np.float64)
+            w2c = np.linalg.inv(c2w)
+            cam = pts @ w2c[:3, :3].T + w2c[:3, 3]
+            cam[:, 0] *= -1  # reference's x-flip (model/keyframe.py:188)
+            z = cam[:, 2:3] + 1e-5
+            u = fx * cam[:, 0] / z[:, 0] + cx
+            v = fy * cam[:, 1] / z[:, 0] + cy
+            mask = ((u < Wc - edge) & (u > edge)
+                    & (v < Hc - edge) & (v > edge) & (z[:, 0] < 0))
+            scored.append((slot, mask.mean()))
+
+        scored.sort(key=lambda s: s[1], reverse=True)
+        selected = [s for s, p in scored if p > 0.0]
+        selected = list(rng.permutation(np.array(selected, np.int64))[:k_frame])
+        last = self.count - 1
+        if last not in selected:
+            selected.append(last)
+        return self.rays[np.asarray(selected)], selected

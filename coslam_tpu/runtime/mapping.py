@@ -98,6 +98,55 @@ def make_first_frame_step(model, config: Dict, map_tx, H: int, W: int,
     return step
 
 
+def make_current_frame_step(model, config: Dict, map_tx, mesh=None):
+    """Optional per-frame map-only refinement at the tracked pose
+    (reference coslam.py:209-249; enabled when mapping.cur_frame_iters > 0).
+
+    Same inner loop as first-frame mapping but for `cur_frame_iters`
+    iterations and with its own optimizer state (the reference uses a
+    separate cur_map_optimizer over the embedding only,
+    coslam.py:626-634).
+    """
+    from ..parallel.sharding import maybe_shard
+
+    mcfg = config["mapping"]
+    sample = int(mcfg["sample"])
+    n_iters = int(mcfg["cur_frame_iters"])
+    weights = config["training"]
+
+    @jax.jit
+    def step(grid_params, decoder_params, cur_opt_state, c2w, frame_rays, key):
+        dirs_all = frame_rays[:, :3]
+        rgb_all = frame_rays[:, 3:6]
+        d_all = frame_rays[:, 6:7]
+        Rm, t = c2w[:3, :3], c2w[:3, 3]
+
+        def loss_fn(gp, idx, k):
+            mp = {"grid": gp, "decoder": decoder_params}
+            rays_d = maybe_shard(dirs_all[idx] @ Rm.T, mesh)
+            rays_o = jnp.broadcast_to(t, rays_d.shape)
+            ret = model.forward(mp, k, rays_o, rays_d,
+                                maybe_shard(rgb_all[idx], mesh),
+                                maybe_shard(d_all[idx], mesh))
+            return L.total_loss(ret, weights)
+
+        def body(carry, k):
+            gp, opt_state = carry
+            k1, k2 = jax.random.split(k)
+            idx = jax.random.randint(k1, (sample,), 0, dirs_all.shape[0])
+            loss, grads = jax.value_and_grad(loss_fn)(gp, idx, k2)
+            updates, opt_state = map_tx.update(grads, opt_state, gp)
+            gp = optax.apply_updates(gp, updates)
+            return (gp, opt_state), loss
+
+        keys = jax.random.split(key, max(n_iters, 1))
+        (grid_params, cur_opt_state), losses = jax.lax.scan(
+            body, (grid_params, cur_opt_state), keys)
+        return grid_params, cur_opt_state, losses[-1]
+
+    return step
+
+
 def make_ba_step(model, config: Dict, map_tx, max_kf: int, rays_per_kf: int,
                  n_pixels: int, mesh=None):
     """Build the jitted global-BA megastep.

@@ -29,9 +29,11 @@ from ..data import get_dataset
 from ..models.scene_rep import JointEncoding
 from .checkpoint import load_ckpt, save_ckpt
 from .keyframe import KeyFrameDatabase
-from .mapping import make_ba_step, make_first_frame_step
-from .optim import make_map_optimizer
-from .tracking import make_tracking_step, predict_current_pose
+from .mapping import (make_ba_step, make_current_frame_step,
+                      make_first_frame_step)
+from .optim import _adam_l2, make_map_optimizer
+from .tracking import (make_tracking_pc_step, make_tracking_step,
+                       predict_current_pose)
 
 
 class CoSLAM:
@@ -69,6 +71,15 @@ class CoSLAM:
         self._ba_step = make_ba_step(self.model, config, self.map_tx,
                                      num_kf, self.dataset.num_rays_to_save,
                                      self.dataset.num_rays_to_save)
+        # Optional modes (reference coslam.py:209-249 / :415-500).
+        if config["mapping"]["cur_frame_iters"] > 0:
+            self._cur_map_tx = _adam_l2(config["mapping"]["lr_embed"],
+                                        0.9, 0.99, 1e-15)
+            self._cur_map_opt_state = self._cur_map_tx.init(self.params["grid"])
+            self._cur_map_step = make_current_frame_step(
+                self.model, config, self._cur_map_tx)
+        if config["tracking"]["iter_point"] > 0:
+            self._track_pc_step = make_tracking_pc_step(self.model, config)
         self._rng = np.random.default_rng(0)
 
         # Per-phase instrumentation (ms per invocation).
@@ -131,10 +142,15 @@ class CoSLAM:
     def tracking_render(self, batch: Dict, frame_id: int) -> float:
         """Reference coslam.py:502-594."""
         t0 = time.perf_counter()
-        const_speed = self.config["tracking"]["const_speed"]
-        prev = self.est_c2w[frame_id - 1]
-        prev_prev = self.est_c2w[frame_id - 2] if frame_id >= 2 else None
-        c2w_init = predict_current_pose(prev, prev_prev, const_speed)
+        if self.config["tracking"]["iter_point"] > 0:
+            # tracking_pc already initialized this frame's pose
+            # (reference coslam.py:516-519).
+            c2w_init = self.est_c2w[frame_id]
+        else:
+            const_speed = self.config["tracking"]["const_speed"]
+            prev = self.est_c2w[frame_id - 1]
+            prev_prev = self.est_c2w[frame_id - 2] if frame_id >= 2 else None
+            c2w_init = predict_current_pose(prev, prev_prev, const_speed)
 
         rays = jnp.asarray(self._sample_tracking_rays(batch))
         c2w, loss, psnr = self._track_step(self.params, jnp.asarray(c2w_init),
@@ -169,6 +185,40 @@ class CoSLAM:
         slot = self.kf_db.count - 1
         self.kf_poses = self.kf_poses.at[slot].set(
             jnp.asarray(self.est_c2w[int(batch["frame_id"])]))
+
+    def current_frame_mapping(self, batch: Dict, cur_frame_id: int):
+        """Per-frame map-only refinement (reference coslam.py:209-249;
+        no-op unless mapping.cur_frame_iters > 0)."""
+        if self.config["mapping"]["cur_frame_iters"] <= 0:
+            return None
+        c2w = jnp.asarray(self.est_c2w[cur_frame_id])
+        frame_rays = jnp.asarray(self._frame_rays_flat(batch))
+        grid, self._cur_map_opt_state, loss = self._cur_map_step(
+            self.params["grid"], self.params["decoder"],
+            self._cur_map_opt_state, c2w, frame_rays, self._next_key())
+        self.params = {**self.params, "grid": grid}
+        return float(loss)
+
+    def tracking_pc(self, batch: Dict, frame_id: int) -> float:
+        """Point-cloud-loss tracking (reference coslam.py:415-500)."""
+        const_speed = self.config["tracking"]["const_speed"]
+        prev = self.est_c2w[frame_id - 1]
+        prev_prev = self.est_c2w[frame_id - 2] if frame_id >= 2 else None
+        c2w_init = predict_current_pose(prev, prev_prev, const_speed)
+        iH = self.config["tracking"]["ignore_edge_H"]
+        iW = self.config["tracking"]["ignore_edge_W"]
+        S = self.config["tracking"]["pc_samples"]
+        dirs = batch["direction"][iH:-iH, iW:-iW].reshape(-1, 3)
+        rgb = batch["rgb"][iH:-iH, iW:-iW].reshape(-1, 3)
+        depth = batch["depth"][iH:-iH, iW:-iW].reshape(-1, 1)
+        idx = self._rng.choice(dirs.shape[0], size=min(S, dirs.shape[0]),
+                               replace=False)
+        rays = np.concatenate([dirs[idx], rgb[idx], depth[idx]],
+                              axis=1).astype(np.float32)
+        c2w, loss = self._track_pc_step(self.params, jnp.asarray(c2w_init),
+                                        jnp.asarray(rays), self._next_key())
+        self.est_c2w[frame_id] = np.asarray(c2w)
+        return float(loss)
 
     def global_BA(self, batch: Dict, cur_frame_id: int) -> float:
         """Reference coslam.py:285-397."""
@@ -265,6 +315,8 @@ class CoSLAM:
                     print(f"frame 0: first-frame mapping loss {loss:.5f}")
                 continue
 
+            if cfg["tracking"]["iter_point"] > 0:
+                self.tracking_pc(batch, i)
             self.tracking_render(batch, i)
             if verbose:
                 loss, psnr, err = self._last_track_info
@@ -272,6 +324,7 @@ class CoSLAM:
                       f"pose L1 vs gt: {err:.5f}")
 
             if i % cfg["mapping"]["map_every"] == 0:
+                self.current_frame_mapping(batch, i)
                 self.global_BA(batch, i)
 
             if i % cfg["mapping"]["keyframe_every"] == 0:

@@ -108,6 +108,69 @@ def make_tracking_step(model, config: Dict, mesh=None):
     return step
 
 
+def make_tracking_pc_step(model, config: Dict, mesh=None):
+    """Point-cloud-loss tracking (reference coslam.py:415-500,
+    'tracking_pc', enabled by tracking.iter_point > 0; not used by the
+    shipped configs but part of the capability surface).
+
+    Back-projects sampled valid-depth pixels to 3D with the current pose
+    estimate, queries SDF+color at those points, and minimizes
+    5*mse(rgb) + 1000*mse(sdf) over the pose tangent.
+    """
+    from ..parallel.sharding import maybe_shard
+
+    tcfg = config["tracking"]
+    n_iter = int(tcfg["iter_point"])
+    use_best = bool(tcfg["best"])
+    mat_to_tensor, mat_from_tensor = P.get_pose_representation(
+        config["training"]["rot_rep"])
+    tx = make_pose_optimizer(tcfg["lr_rot"], tcfg["lr_trans"])
+
+    @jax.jit
+    def step(params, c2w_init, rays, key):
+        # rays: [S, 7]; rows with invalid depth are masked out of the loss.
+        pp = {"rot": mat_to_tensor(c2w_init[:3, :3])[None],
+              "trans": c2w_init[:3, 3][None]}
+        opt_state = tx.init(pp)
+        dirs = maybe_shard(rays[:, :3], mesh)
+        target_rgb = maybe_shard(rays[:, 3:6], mesh)
+        target_d = maybe_shard(rays[:, 6:7], mesh)
+        valid = ((target_d[:, 0] > 0.0) & (target_d[:, 0] < 5.0)
+                 ).astype(jnp.float32)
+
+        def loss_fn(pp):
+            c2w = mat_from_tensor(pp["rot"], pp["trans"])[0]
+            rays_d = dirs @ c2w[:3, :3].T
+            pts = c2w[:3, 3][None] + target_d * rays_d
+            pts_norm = model.normalize_coords(pts)
+            out = model.query_color_sdf(params, pts_norm)
+            sdf = out[:, -1]
+            rgb = jax.nn.sigmoid(out[:, :3])
+            rgb_l = L.masked_mean((rgb - target_rgb) ** 2, valid[:, None])
+            sdf_l = L.masked_mean(sdf ** 2, valid)
+            return 5.0 * rgb_l + 1000.0 * sdf_l
+
+        def body(carry, _):
+            pp, opt_state, best_loss, best_pp, last_pp = carry
+            loss, grads = jax.value_and_grad(loss_fn)(pp)
+            improved = loss < best_loss
+            best_pp = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(improved, new, old), pp, best_pp)
+            best_loss = jnp.minimum(loss, best_loss)
+            last_pp = pp
+            updates, opt_state = tx.update(grads, opt_state, pp)
+            pp = optax.apply_updates(pp, updates)
+            return (pp, opt_state, best_loss, best_pp, last_pp), loss
+
+        init = (pp, opt_state, jnp.inf, pp, pp)
+        (pp, _, best_loss, best_pp, last_pp), losses = jax.lax.scan(
+            body, init, None, length=max(n_iter, 1))
+        chosen = best_pp if use_best else last_pp
+        return mat_from_tensor(chosen["rot"], chosen["trans"])[0], losses[-1]
+
+    return step
+
+
 def predict_current_pose(est_prev, est_prev_prev=None, constant_speed=True):
     """Constant-speed motion model init (reference coslam.py:399-413).
 

@@ -69,6 +69,29 @@ def test_hashgrid_out_of_range_clamped():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+def test_hashgrid_mxu_backward_matches_scatter():
+    """The MXU one-hot table gradient must match XLA's scatter-add
+    (up to bf16 rounding of the update values)."""
+    spec = enc.make_hashgrid_spec(64, 12, n_levels=4)
+    table = enc.init_hashgrid(jax.random.PRNGKey(0), spec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (256, 3))
+    g = jax.random.normal(jax.random.PRNGKey(2), (256, spec.out_dim))
+    enc_mxu = enc.make_hashgrid_encode_mxu(spec)
+
+    f_ref = enc.hashgrid_encode(spec, table, x)
+    f_mxu = enc_mxu(table, x)
+    np.testing.assert_array_equal(np.asarray(f_ref), np.asarray(f_mxu))
+
+    gr = jax.grad(lambda t, xx: jnp.sum(enc.hashgrid_encode(spec, t, xx) * g),
+                  argnums=(0, 1))(table, x)
+    gm = jax.grad(lambda t, xx: jnp.sum(enc_mxu(t, xx) * g),
+                  argnums=(0, 1))(table, x)
+    scale = float(jnp.abs(gr[0]).max())
+    assert float(jnp.abs(gr[0] - gm[0]).max()) < 0.01 * scale  # bf16 vals
+    np.testing.assert_allclose(np.asarray(gr[1]), np.asarray(gm[1]),
+                               atol=1e-5)
+
+
 def test_oneblob_partition_of_unity():
     """Far from the boundary, bin masses sum to ~1 and peak at x's bin."""
     x = jnp.array([[0.5, 0.3, 0.71]])
