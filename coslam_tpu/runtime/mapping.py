@@ -148,19 +148,26 @@ def make_current_frame_step(model, config: Dict, map_tx, mesh=None):
 
 
 def make_ba_step(model, config: Dict, map_tx, max_kf: int, rays_per_kf: int,
-                 n_pixels: int, mesh=None):
+                 n_pixels: int, mesh=None, maxcur: int = None):
     """Build the jitted global-BA megastep.
 
     step(map_params, map_opt_state, kf_rays [max_kf, R, 7], kf_count,
          kf_poses [max_kf, 4, 4], cur_pose [4, 4], cur_rays [H*W, 7], key)
       -> (map_params, map_opt_state, new_kf_poses, new_cur_pose,
           last_loss)
+
+    maxcur caps the fixed-shape current-frame ray block. The dynamic
+    quota is max(sample // kf_count, min_pixels_cur) (reference
+    coslam.py:339-341), so maxcur=sample is always correct but wasteful
+    once the database has grown; the runtime compiles a second variant
+    with a small maxcur and dispatches on kf_count (see CoSLAM.global_BA).
     """
     from ..parallel.sharding import maybe_shard
 
     mcfg = config["mapping"]
     sample = int(mcfg["sample"])
-    maxcur = sample  # quota max: sample // 1 when only one keyframe exists
+    if maxcur is None:
+        maxcur = sample  # quota max: sample // 1 with one keyframe
     iters = int(mcfg["iters"])
     min_pixels_cur = int(mcfg["min_pixels_cur"])
     map_accum = int(mcfg["map_accum_step"])
@@ -195,8 +202,9 @@ def make_ba_step(model, config: Dict, map_tx, max_kf: int, rays_per_kf: int,
             return mats
 
         flat_kf = kf_rays.reshape(-1, 7)
-        n_cur_quota = jnp.maximum(sample // jnp.maximum(kf_count, 1),
-                                  min_pixels_cur)
+        n_cur_quota = jnp.minimum(
+            jnp.maximum(sample // jnp.maximum(kf_count, 1), min_pixels_cur),
+            maxcur)
 
         def loss_fn(pp, mp, ray_data, ray_ids, ray_mask, k):
             poses_all = build_poses(pp)

@@ -71,6 +71,17 @@ class CoSLAM:
         self._ba_step = make_ba_step(self.model, config, self.map_tx,
                                      num_kf, self.dataset.num_rays_to_save,
                                      self.dataset.num_rays_to_save)
+        # Small-current-block variant: once kf_count >= sample/maxcur_small
+        # the dynamic quota fits in a much smaller fixed block (halves the
+        # BA ray count vs always padding to `sample`).
+        sample = config["mapping"]["sample"]
+        self._ba_maxcur_small = max(
+            256, int(config["mapping"]["min_pixels_cur"]))
+        self._ba_small_min_kf = -(-sample // self._ba_maxcur_small)  # ceil
+        self._ba_step_small = make_ba_step(
+            self.model, config, self.map_tx, num_kf,
+            self.dataset.num_rays_to_save, self.dataset.num_rays_to_save,
+            maxcur=self._ba_maxcur_small)
         # Optional modes (reference coslam.py:209-249 / :415-500).
         if config["mapping"]["cur_frame_iters"] > 0:
             self._cur_map_tx = _adam_l2(config["mapping"]["lr_embed"],
@@ -229,8 +240,10 @@ class CoSLAM:
         cur_pose = jnp.asarray(self.est_c2w[cur_frame_id])
         cur_rays = jnp.asarray(self._frame_rays_flat(batch))
 
+        ba = (self._ba_step_small if self.kf_db.count >= self._ba_small_min_kf
+              else self._ba_step)
         (self.params, self.map_opt_state, self.kf_poses, new_cur,
-         loss) = self._ba_step(
+         loss) = ba(
             self.params, self.map_opt_state, self.kf_db.rays,
             jnp.int32(self.kf_db.count), self.kf_poses, cur_pose, cur_rays,
             self._next_key())
@@ -299,11 +312,12 @@ class CoSLAM:
         out = os.path.join(cfg["data"]["output"], cfg["data"]["exp_name"])
         os.makedirs(out, exist_ok=True)
 
-        total = len(self.dataset) if n_frames is None else min(
-            n_frames, len(self.dataset))
+        from ..data.prefetch import PrefetchIterator
 
-        for i in range(total):
-            batch = self.dataset[i]
+        frames = PrefetchIterator(self.dataset, n_frames)
+        total = len(frames)
+
+        for i, batch in frames:
             if i == 0:
                 loss = self.first_frame_mapping(batch)
                 if cfg["mapping"]["first_mesh"]:
