@@ -305,7 +305,15 @@ class CoSLAM:
     # -- main loop --------------------------------------------------------------
 
     def run(self, n_frames: Optional[int] = None, verbose: bool = True,
-            eval_ate: bool = True):
+            eval_ate: bool = True, profile_dir: Optional[str] = None,
+            ckpt_every: int = 0):
+        """Main per-frame loop (reference coslam.py:651-722).
+
+        profile_dir: capture a JAX profiler trace of the steady-state
+        frames 10-20 (first-class tracing; the reference has none).
+        ckpt_every: periodic checkpoint interval in frames (0 = final
+        only, like the reference); enables crash recovery via --ckpt.
+        """
         from ..eval.ate import pose_evaluation
 
         cfg = self.config
@@ -318,6 +326,12 @@ class CoSLAM:
         total = len(frames)
 
         for i, batch in frames:
+            if profile_dir and i == 10:
+                jax.profiler.start_trace(profile_dir)
+            if profile_dir and i == 20:
+                jax.profiler.stop_trace()
+            if ckpt_every and i > 0 and i % ckpt_every == 0:
+                self.save_checkpoint(os.path.join(out, f"checkpoint{i}.npz"))
             if i == 0:
                 loss = self.first_frame_mapping(batch)
                 if cfg["mapping"]["first_mesh"]:

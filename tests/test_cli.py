@@ -1,0 +1,83 @@
+"""CLI surface: python -m coslam_tpu --config ... end-to-end on synthetic
+data, plus the eval CLIs."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+from coslam_tpu.data.synth import (AnalyticScene, make_synthetic_config,
+                                   make_trajectory, write_replica_format)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def scene_cfg(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    datadir = str(d / "scene")
+    cfg = make_synthetic_config(datadir, str(d / "out"), H=36, W=44,
+                                n_frames=8)
+    cfg["mapping"]["first_iters"] = 40
+    cfg["mesh"]["vis"] = 0
+    scene = AnalyticScene()
+    poses = make_trajectory(8, orbit_fraction=0.02)
+    cam = cfg["cam"]
+    write_replica_format(datadir, scene, poses, cam["H"], cam["W"],
+                         cam["fx"], cam["fy"], cam["cx"], cam["cy"])
+    cfg_path = str(d / "scene.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+    return cfg, cfg_path
+
+
+def _run(args, timeout=1200):
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    return subprocess.run([sys.executable] + args, cwd=REPO, env=env,
+                          capture_output=True, text=True, timeout=timeout)
+
+
+def test_cli_end_to_end(scene_cfg):
+    cfg, cfg_path = scene_cfg
+    r = _run(["-m", "coslam_tpu", "--config", cfg_path])
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = os.path.join(cfg["data"]["output"], cfg["data"]["exp_name"])
+    files = os.listdir(out)
+    assert any(f.startswith("checkpoint") for f in files)
+    assert any(f.startswith("mesh_track") for f in files)
+    assert "output.txt" in files
+    # config snapshot next to outputs
+    snap_dirs = [d for d in os.listdir(cfg["data"]["output"])
+                 if d.startswith(cfg["data"]["exp_name"]) and d != cfg["data"]["exp_name"]]
+    assert snap_dirs
+    with open(os.path.join(cfg["data"]["output"], snap_dirs[0],
+                           "config.json")) as f:
+        snap = json.load(f)
+    assert snap["dataset"] == "replica"
+
+
+def test_cli_recon_eval(scene_cfg, tmp_path):
+    cfg, cfg_path = scene_cfg
+    out = os.path.join(cfg["data"]["output"], cfg["data"]["exp_name"])
+    meshes = [f for f in os.listdir(out) if f.startswith("mesh_track")]
+    assert meshes  # produced by test_cli_end_to_end
+    mesh_path = os.path.join(out, meshes[0])
+
+    # cull CLI with GT poses
+    r = _run(["-m", "coslam_tpu.eval.cli", "cull", "--config", cfg_path,
+              "--input_mesh", mesh_path, "--remove_occlusion"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    culled = mesh_path.replace(".ply", "_cull_occlusion.ply")
+    assert os.path.exists(culled)
+
+    # recon CLI (3D only, rec vs itself => near-zero error)
+    r = _run(["-m", "coslam_tpu.eval.cli", "recon", "--rec_mesh", culled,
+              "--gt_mesh", culled, "-3d", "--no_align"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(r.stdout[r.stdout.index("{"):])
+    assert res["comp ratio"] > 95.0
