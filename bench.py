@@ -54,7 +54,9 @@ def main():
 
     # Generate ALL buffers on device (the keyframe reservoir is ~0.5 GB —
     # uploading it through a tunneled device link would swamp the wire).
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(1,))
     def rand_rays(key, n):
         k1, k2, k3 = jax.random.split(key, 3)
         dirs = jnp.concatenate(
@@ -73,7 +75,11 @@ def main():
     track_rays = rand_rays(jax.random.PRNGKey(3), cfg["tracking"]["sample"])
 
     track = make_tracking_step(model, cfg)
-    ba = make_ba_step(model, cfg, map_tx, num_kf, rays_per_kf, rays_per_kf)
+    # Steady-state BA variant: with 100 keyframes in the database the
+    # current-frame quota is max(2048//100, 100)=100 rays, so the small
+    # fixed block applies (mirrors CoSLAM.global_BA's dispatch).
+    ba = make_ba_step(model, cfg, map_tx, num_kf, rays_per_kf, rays_per_kf,
+                      maxcur=256)
 
     def _sync_scalar(out):
         """Force execution to completion by fetching ONE scalar derived

@@ -138,14 +138,21 @@ def _corner_indices(spec: HashGridSpec, grid_i: jnp.ndarray) -> jnp.ndarray:
 
 
 def hashgrid_encode(spec: HashGridSpec, table: jnp.ndarray,
-                    x: jnp.ndarray) -> jnp.ndarray:
+                    x: jnp.ndarray,
+                    compute_dtype=None) -> jnp.ndarray:
     """Multiresolution trilinear hash-grid encoding.
 
     x: [N, 3] normalized to [0, 1] (tcnn convention; out-of-range points
-    are clamped). table: [total_entries, F]. Returns [N, L*F] features.
-    One gather of [N, L, 8] rows => XLA emits a single fused gather;
-    autodiff yields a single scatter-add for the table gradient.
+    are clamped). table: [total_entries, F]. Returns [N, L*F] features
+    (float32). One gather of [N, L, 8] rows => XLA emits a single fused
+    gather; autodiff yields a single scatter-add for the table gradient.
+
+    The gather reads the table in `compute_dtype` (bf16 halves the
+    bandwidth of the dominant random-access traffic — the tcnn analogue
+    stores fp16 parameters); master parameters and gradients stay f32.
     """
+    if compute_dtype is not None and table.dtype != compute_dtype:
+        table = table.astype(compute_dtype)
     x = jnp.clip(x, 0.0, 1.0)
     res = jnp.array(spec.resolutions, dtype=x.dtype)  # [L]
     pos = x[:, None, :] * res[None, :, None]          # [N, L, 3]
@@ -154,7 +161,7 @@ def hashgrid_encode(spec: HashGridSpec, table: jnp.ndarray,
     w = pos - grid_i.astype(x.dtype)                  # [N, L, 3] in [0,1)
 
     idx = _corner_indices(spec, grid_i)               # [N, L, 8]
-    feats = table[idx]                                # [N, L, 8, F]
+    feats = table[idx].astype(x.dtype)                # [N, L, 8, F]
 
     # Trilinear weights for the 8 corners; corner bit c=(bx,by,bz) with
     # bz the fastest axis (must match _corner_indices ordering).
@@ -185,7 +192,7 @@ def _hash_corners_and_weights(spec: HashGridSpec, x: jnp.ndarray):
     return idx, weight
 
 
-def make_hashgrid_encode_mxu(spec: HashGridSpec):
+def make_hashgrid_encode_mxu(spec: HashGridSpec, compute_dtype=None):
     """Hash-grid encoding with an MXU-friendly custom backward.
 
     XLA lowers the table-gradient scatter-add to a serialized per-update
@@ -202,16 +209,17 @@ def make_hashgrid_encode_mxu(spec: HashGridSpec):
 
     @jax.custom_vjp
     def encode(table, x):
-        return hashgrid_encode(spec, table, x)
+        return hashgrid_encode(spec, table, x, compute_dtype)
 
     def fwd(table, x):
-        return hashgrid_encode(spec, table, x), (table, x)
+        return hashgrid_encode(spec, table, x, compute_dtype), (table, x)
 
     def bwd(res, g):
         table, x = res
         # dL/dx via autodiff of the gather-only path (no scatter inside).
         _, vjp_x = jax.vjp(
-            lambda xx: hashgrid_encode(spec, jax.lax.stop_gradient(table), xx),
+            lambda xx: hashgrid_encode(spec, jax.lax.stop_gradient(table), xx,
+                                       compute_dtype),
             x)
         (dx,) = vjp_x(g)
 
@@ -317,15 +325,28 @@ def sh_encode(d: jnp.ndarray, degree: int = 4) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def _grid_apply_fn(spec: HashGridSpec, grad_impl: str = "auto"):
-    """Pick the table-gradient implementation: 'scatter' (XLA autodiff),
-    'onehot' (MXU matmul custom VJP), or 'auto' (onehot on TPU)."""
+    """Pick the table-gradient implementation:
+      'scatter' — XLA autodiff scatter-add (CPU/GPU default)
+      'onehot'  — MXU one-hot matmul custom VJP (O(M*T) FLOPs, fast on
+                  full-rate MXUs)
+      'pallas'  — Pallas VMEM-accumulator serial scatter (O(M), exact,
+                  deterministic; TPU default)
+    On TPU the gather also reads the table as bf16 (tcnn stores fp16
+    params); master params/gradients stay f32."""
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    compute_dtype = jnp.bfloat16 if on_tpu else None
     if grad_impl == "auto":
-        grad_impl = ("onehot" if jax.default_backend() not in ("cpu", "gpu")
-                     else "scatter")
-    if grad_impl == "onehot":
-        enc = make_hashgrid_encode_mxu(spec)
+        grad_impl = "pallas" if on_tpu else "scatter"
+    if grad_impl == "pallas":
+        from .hash_pallas import make_hashgrid_encode_pallas_bwd
+
+        enc = make_hashgrid_encode_pallas_bwd(spec, compute_dtype,
+                                              interpret=not on_tpu)
         return lambda p, x: enc(p, x)
-    return lambda p, x: hashgrid_encode(spec, p, x)
+    if grad_impl == "onehot":
+        enc = make_hashgrid_encode_mxu(spec, compute_dtype)
+        return lambda p, x: enc(p, x)
+    return lambda p, x: hashgrid_encode(spec, p, x, compute_dtype)
 
 
 def make_encoder(encoding: str, input_dim: int = 3, degree: int = 4,
