@@ -7,7 +7,44 @@ module import time (pytest imports conftest first).
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The TPU-tunnel environment injects an 'axon' PJRT plugin via
+# PYTHONPATH sitecustomize that initializes JAX at interpreter start,
+# locking the platform/device count before conftest runs. If we detect
+# it, re-exec pytest with a cleaned environment.
+_PYPATH = os.environ.get("PYTHONPATH", "")
+if ".axon_site" in _PYPATH or os.environ.get("JAX_PLATFORMS") == "axon":
+    import subprocess
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in _PYPATH.split(os.pathsep) if ".axon_site" not in p)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    # pytest's fd-level capture is already active during conftest import,
+    # so fds 1/2 point at its temp files; write the child's report to the
+    # controlling terminal if available, and always to a log file.
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", *sys.argv[1:]], env=env,
+        capture_output=True, text=True)
+    report = proc.stdout[-20000:] + proc.stderr[-4000:]
+    with open("/tmp/pytest_reexec.log", "w") as f:
+        f.write(proc.stdout + proc.stderr)
+    for sink in ("/dev/tty", None):
+        try:
+            if sink:
+                with open(sink, "w") as t:
+                    t.write(report)
+            else:
+                os.write(2, report.encode())
+            break
+        except OSError:
+            continue
+    os._exit(proc.returncode)
+
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
