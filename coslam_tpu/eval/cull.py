@@ -138,6 +138,7 @@ def cull_one_mesh(cfg: Dict, c2w_list: List[np.ndarray], mesh_path: str,
         valid = tri_in
 
     culled = TriMesh(vertices, triangles[valid], colors)
+    culled.remove_unreferenced_vertices()
     culled.export(save_path)
 
     if save_unseen:

@@ -117,16 +117,22 @@ def sample_eval_poses(mesh_gt: TriMesh, pc_unseen: Optional[np.ndarray],
 
     poses = []
     attempts = 0
-    while len(poses) < n_imgs and attempts < n_imgs * 200:
+    check_unseen = pc_unseen is not None and len(pc_unseen)
+    while len(poses) < n_imgs and attempts < n_imgs * 50:
         attempts += 1
         origin = center + nprng.uniform(-1, 1, 3) * half
         target = np.array([rng.uniform(-1e4, 1e4) for _ in range(3)])
         c2w = np.eye(4)
         c2w[:3, :] = viewmatrix(target - origin, [0, 0, -1], origin)
-        if pc_unseen is not None and len(pc_unseen):
-            if _sees_points(pc_unseen, c2w, H, W, fx, fy, cx, cy):
-                continue
+        if check_unseen and _sees_points(pc_unseen, c2w, H, W, fx, fy, cx, cy):
+            continue
         poses.append(c2w)
+    if not poses:
+        # Heavily-unseen scenes can reject every candidate (the reference
+        # loops forever here); fall back to unconstrained views — depth-L1
+        # then still masks missing GT depth per pixel.
+        poses = sample_eval_poses(mesh_gt, None, n_imgs, H, W, fx, fy,
+                                  cx, cy, sx, sy, sz, seed + 1)
     return poses
 
 

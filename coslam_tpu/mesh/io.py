@@ -32,6 +32,15 @@ class TriMesh:
     def export(self, path: str) -> None:
         save_ply(path, self.vertices, self.faces, self.vertex_colors)
 
+    def remove_unreferenced_vertices(self) -> "TriMesh":
+        """Drop vertices not used by any face (in place; returns self)."""
+        used, inverse = np.unique(self.faces.reshape(-1), return_inverse=True)
+        self.vertices = self.vertices[used]
+        if self.vertex_colors is not None:
+            self.vertex_colors = np.asarray(self.vertex_colors)[used]
+        self.faces = inverse.reshape(-1, 3).astype(np.int64)
+        return self
+
     def sample_surface(self, n: int, rng=None) -> np.ndarray:
         """Uniform-area random surface samples [n, 3]."""
         rng = rng or np.random.default_rng(0)

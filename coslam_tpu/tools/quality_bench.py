@@ -1,0 +1,81 @@
+"""End-to-end quality benchmark on the analytic synthetic scene.
+
+Runs the full SLAM pipeline (tracking + BA + keyframes + meshing) on a
+procedurally rendered RGB-D sequence, then evaluates ATE and culled-mesh
+Acc/Comp/Ratio/depth-L1 against the analytic ground-truth mesh. This is
+the self-contained stand-in for the Replica-room0 protocol when no real
+dataset is on disk.
+
+Run: python -m coslam_tpu.tools.quality_bench [--frames 100] [--out F]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import tempfile
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=100)
+    p.add_argument("--hw", type=str, default="120x160")
+    p.add_argument("--out", default=None)
+    p.add_argument("--workdir", default=None)
+    args = p.parse_args(argv)
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/coslam_tpu_xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import numpy as np
+
+    from ..data.synth import (AnalyticScene, make_synthetic_config,
+                              make_trajectory, write_replica_format)
+    from ..eval.benchmark import run_benchmark
+    from ..mesh.io import TriMesh
+    from ..mesh.mcubes import marching_cubes
+
+    H, W = (int(v) for v in args.hw.split("x"))
+    work = args.workdir or tempfile.mkdtemp(prefix="coslam_quality_")
+    datadir = os.path.join(work, "scene")
+    cfg = make_synthetic_config(datadir, os.path.join(work, "out"),
+                                H=H, W=W, n_frames=args.frames)
+    cfg["mapping"]["first_iters"] = 500
+    cfg["mapping"]["sample"] = 2048
+    cfg["tracking"]["sample"] = 1024
+    cfg["mesh"]["vis"] = 0
+    cfg["mesh"]["voxel_final"] = 0.05
+
+    scene = AnalyticScene()
+    poses = make_trajectory(args.frames, orbit_fraction=0.15)
+    cam = cfg["cam"]
+    print(f"rendering {args.frames} frames at {H}x{W}...", flush=True)
+    write_replica_format(datadir, scene, poses, cam["H"], cam["W"],
+                         cam["fx"], cam["fy"], cam["cx"], cam["cy"])
+
+    # Analytic GT mesh.
+    n = 128
+    ax = np.linspace(-2.2, 2.2, n).astype(np.float32)
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+    sdf = scene.sdf(np.stack([X, Y, Z], -1)).astype(np.float32)
+    v, f = marching_cubes(sdf, 0.0, truncation=3.0)
+    gt_path = os.path.join(work, "gt.ply")
+    TriMesh(v * (4.4 / (n - 1)) - 2.2, f).export(gt_path)
+
+    print("running SLAM...", flush=True)
+    res = run_benchmark(cfg, gt_mesh_path=gt_path,
+                        culling="frustum_occlusion", n_eval_views=50)
+    res["n_frames"] = args.frames
+    res["resolution"] = f"{H}x{W}"
+    res["device"] = str(jax.devices()[0])
+    print(json.dumps(res, indent=2))
+    if args.out:
+        with open(args.out, "w") as fo:
+            json.dump(res, fo, indent=2)
+    return res
+
+
+if __name__ == "__main__":
+    main()

@@ -120,6 +120,34 @@ def test_synthetic_neuralrgbd_format(tmp_path):
     np.testing.assert_allclose(b["c2w"][:3, 3], [0, 0.3, 0], atol=1e-6)
 
 
+def test_kitti_format(tmp_path):
+    from coslam_tpu.data.datasets import KITTIDataset
+
+    H, W, n = 24, 32, 4
+    rng = np.random.default_rng(5)
+    root = tmp_path / "kitti"
+    (root / "image_2").mkdir(parents=True)
+    (root / "depth").mkdir()
+    rows = []
+    for i in range(n):
+        img = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(root / "image_2" / f"{i:06d}.png"), img)
+        d = (rng.uniform(1, 10, (H, W)) * 256).astype(np.uint16)
+        cv2.imwrite(str(root / "depth" / f"{i:06d}.png"), d)
+        c2w = np.eye(4)
+        c2w[:3, 3] = [1.0 * i, 0, 0]
+        rows.append(" ".join(str(v) for v in c2w[:3, :4].reshape(-1)))
+    (root / "poses.txt").write_text("\n".join(rows) + "\n")
+
+    cfg = _base_cfg(H, W, "kitti", {"png_depth_scale": 256.0})
+    ds = KITTIDataset(cfg, str(root))
+    assert len(ds) == n
+    b = ds[3]
+    assert b["rgb"].shape == (H, W, 3)
+    np.testing.assert_allclose(b["c2w"][:3, 3], [3.0, 0, 0], atol=1e-6)
+    assert 1.0 <= b["depth"].mean() <= 10.0
+
+
 def test_azure_format(tmp_path):
     H, W, n = 24, 32, 3
     rng = np.random.default_rng(3)
