@@ -38,10 +38,14 @@ def _scatter_kernel(chunk: int, idx_ref, val_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
+    n_rows = out_ref.shape[0]
+
     def body(i, _):
         base = i * _UNROLL
         for u in range(_UNROLL):  # unrolled: amortizes loop overhead ~20%
-            j = idx_ref[base + u]
+            # Clamp defensively: an out-of-range index (e.g. from NaN
+            # coordinates upstream) must never fault the device.
+            j = jnp.clip(idx_ref[base + u], 0, n_rows - 1)
             out_ref[pl.ds(j, 1), :] += val_ref[pl.ds(base + u, 1), :]
         return 0
 

@@ -62,6 +62,11 @@ def make_first_frame_step(model, config: Dict, map_tx, H: int, W: int,
     mcfg = config["mapping"]
     sample = int(mcfg["sample"])
     weights = config["training"]
+    n_total = int(mcfg["first_iters"])
+    # Largest divisor of first_iters that is <= 50 keeps iteration count
+    # exact while bounding single-dispatch duration.
+    chunk = next(c for c in range(min(50, n_total), 0, -1)
+                 if n_total % c == 0)
 
     @jax.jit
     def step(map_params, map_opt_state, c2w, frame_rays, key):
@@ -89,13 +94,22 @@ def make_first_frame_step(model, config: Dict, map_tx, H: int, W: int,
             mp = optax.apply_updates(mp, updates)
             return (mp, opt_state), (loss, psnr)
 
-        n_iters = int(mcfg["first_iters"])
-        keys = jax.random.split(key, n_iters)
+        keys = jax.random.split(key, chunk)
         (map_params, map_opt_state), (losses, psnrs) = jax.lax.scan(
             body, (map_params, map_opt_state), keys)
         return map_params, map_opt_state, losses[-1], psnrs[-1]
 
-    return step
+    def run(map_params, map_opt_state, c2w, frame_rays, key):
+        """Dispatch first_iters in bounded chunks: a single multi-minute
+        XLA program can trip device execution watchdogs."""
+        loss = psnr = None
+        for _ in range(n_total // chunk):
+            key, sub = jax.random.split(key)
+            map_params, map_opt_state, loss, psnr = step(
+                map_params, map_opt_state, c2w, frame_rays, sub)
+        return map_params, map_opt_state, loss, psnr
+
+    return run
 
 
 def make_current_frame_step(model, config: Dict, map_tx, mesh=None):
