@@ -131,14 +131,19 @@ class JointEncoding:
         Normalizes to the unit cube first (reference
         model/scene_rep.py:173-191). No host-side chunking: XLA tiles it.
 
-        The query is rematerialized (jax.checkpoint): saving the encoder's
-        per-point intermediates (gathered features, trilinear weights —
-        ~1 KB/point) across an optimization scan costs GBs of HBM; instead
-        the backward pass recomputes the encode from the saved points.
+        When self.remat is set (mapping megasteps), the query is
+        rematerialized (jax.checkpoint): saving the encoder's per-point
+        intermediates (gathered features, trilinear weights — ~1 KB/point)
+        across an optimization scan costs GBs of HBM; the backward pass
+        recomputes the encode from the saved points instead. Tracking
+        (small batches, pose-only grads) skips remat for ~2x less work.
         """
         flat = pts.reshape(-1, 3)
         flat = self.normalize_coords(flat)
-        raw = jax.checkpoint(self.query_color_sdf)(params, flat)
+        if getattr(self, "remat", True):
+            raw = jax.checkpoint(self.query_color_sdf)(params, flat)
+        else:
+            raw = self.query_color_sdf(params, flat)
         return raw.reshape(pts.shape[:-1] + (raw.shape[-1],))
 
     # -- rendering ------------------------------------------------------------

@@ -33,7 +33,14 @@ _CHUNK = 4096
 _UNROLL = 4
 
 
-def _scatter_kernel(chunk: int, idx_ref, val_ref, out_ref):
+def _scatter_kernel(chunk: int, n_feat: int, *refs):
+    """refs = (idx_ref, v0_ref, ..., v{F-1}_ref, out_ref). Index and value
+    streams are 1-D SMEM blocks (2-D [M, F] streams would be lane-padded
+    64x in HBM); the accumulator rows are updated per feature column."""
+    idx_ref = refs[0]
+    val_refs = refs[1:1 + n_feat]
+    out_ref = refs[-1]
+
     @pl.when(pl.program_id(0) == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
@@ -46,46 +53,47 @@ def _scatter_kernel(chunk: int, idx_ref, val_ref, out_ref):
             # Clamp defensively: an out-of-range index (e.g. from NaN
             # coordinates upstream) must never fault the device.
             j = jnp.clip(idx_ref[base + u], 0, n_rows - 1)
-            out_ref[pl.ds(j, 1), :] += val_ref[pl.ds(base + u, 1), :]
+            row = out_ref[pl.ds(j, 1), :]
+            upd = jnp.stack([val_refs[f][base + u]
+                             for f in range(n_feat)]).reshape(1, n_feat)
+            out_ref[pl.ds(j, 1), :] = row + upd
         return 0
 
     jax.lax.fori_loop(0, chunk // _UNROLL, body, 0)
 
 
-def scatter_add_pallas(idx: jnp.ndarray, vals: jnp.ndarray, n_rows: int,
+def scatter_add_pallas(idx: jnp.ndarray, val_streams, n_rows: int,
                        interpret: bool = False) -> jnp.ndarray:
-    """Deterministic scatter-add: out[r] = sum of vals where idx == r.
+    """Deterministic scatter-add: out[r] = sum of values where idx == r.
 
-    idx: [M] int32 in [0, n_rows); vals: [M, F] f32. The accumulator
-    ([n_rows + 1, F], one slack row for padding) must fit in VMEM; use
-    `scatter_add_grouped` for larger tables. M is padded up to a chunk
-    multiple (padded updates are routed to the slack row).
+    idx: [M] int32 in [0, n_rows); val_streams: tuple of F 1-D [M] f32
+    arrays (feature-split to avoid catastrophic lane padding of [M, F]
+    layouts). The accumulator ([n_rows + 1, F], one slack row for
+    padding) must fit in VMEM; M is padded up to a chunk multiple
+    (padded updates are routed to the slack row).
     """
     m = idx.shape[0]
-    f = vals.shape[1]
+    f = len(val_streams)
     m_pad = -(-m // _CHUNK) * _CHUNK
     if m_pad != m:
         idx = jnp.concatenate(
             [idx, jnp.full((m_pad - m,), n_rows, jnp.int32)])
-        vals = jnp.concatenate(
-            [vals, jnp.zeros((m_pad - m, f), vals.dtype)])
+        val_streams = [jnp.concatenate(
+            [v, jnp.zeros((m_pad - m,), v.dtype)]) for v in val_streams]
 
     out = pl.pallas_call(
-        partial(_scatter_kernel, _CHUNK),
+        partial(_scatter_kernel, _CHUNK, f),
         grid=(m_pad // _CHUNK,),
-        in_specs=[
-            pl.BlockSpec((_CHUNK,), lambda i: (i,),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((_CHUNK, f), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[pl.BlockSpec((_CHUNK,), lambda i: (i,),
+                               memory_space=pltpu.SMEM)] * (1 + f),
         out_specs=pl.BlockSpec((n_rows + 1, f), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_rows + 1, f), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(idx.astype(jnp.int32), vals.astype(jnp.float32))
+    )(idx.astype(jnp.int32),
+      *[v.astype(jnp.float32) for v in val_streams])
     return out[:n_rows]
 
 
@@ -95,11 +103,12 @@ def scatter_add_grouped(idx: jnp.ndarray, vals: jnp.ndarray, n_rows: int,
     space into VMEM-sized ranges; out-of-range updates in each pass are
     redirected to the slack row. Every pass scans all updates — prefer
     level-partitioned scatters (the encode backward below) when the
-    index structure is known."""
+    index structure is known. vals: [M, F]."""
     f = vals.shape[1]
+    streams = tuple(vals[:, i] for i in range(f))
     rows_per_group = _max_vmem_rows(f)
     if n_rows <= rows_per_group:
-        return scatter_add_pallas(idx, vals, n_rows, interpret)
+        return scatter_add_pallas(idx, streams, n_rows, interpret)
 
     parts = []
     for start in range(0, n_rows, rows_per_group):
@@ -107,7 +116,7 @@ def scatter_add_grouped(idx: jnp.ndarray, vals: jnp.ndarray, n_rows: int,
         local = idx - start
         in_range = (local >= 0) & (local < size)
         local = jnp.where(in_range, local, size)  # slack row
-        parts.append(scatter_add_pallas(local, vals, size, interpret))
+        parts.append(scatter_add_pallas(local, streams, size, interpret))
     return jnp.concatenate(parts, axis=0)
 
 
@@ -167,7 +176,12 @@ def make_hashgrid_encode_pallas_bwd(spec, compute_dtype=None,
 
         idx, weight = E._hash_corners_and_weights(spec, x)  # [N, L, 8]
         g_lv = g.reshape(-1, spec.n_levels, spec.n_features)
-        vals = weight[..., None] * g_lv[:, :, None, :]      # [N, L, 8, F]
+
+        # Level-major [L, 8, N] layouts keep the minor dimension large
+        # (N points) so nothing lane-pads; [.., 8] or [.., F] minor
+        # dimensions would expand 16-64x in HBM.
+        idx_t = jnp.transpose(idx, (1, 2, 0))              # [L, 8, N]
+        w_t = jnp.transpose(weight, (1, 2, 0))             # [L, 8, N]
 
         # Partition updates by level group (static level axis => free
         # slicing); each update is scattered exactly once into a
@@ -176,9 +190,11 @@ def make_hashgrid_encode_pallas_bwd(spec, compute_dtype=None,
         for (l0, l1, row_start) in _level_groups(spec):
             rows = (spec.offsets[l1] if l1 < spec.n_levels
                     else spec.total_entries) - row_start
-            idx_g = (idx[:, l0:l1, :] - row_start).reshape(-1)
-            vals_g = vals[:, l0:l1].reshape(-1, spec.n_features)
-            parts.append(scatter_add_pallas(idx_g, vals_g, rows,
+            idx_g = (idx_t[l0:l1] - row_start).reshape(-1)
+            streams = tuple(
+                (w_t[l0:l1] * g_lv[:, l0:l1, f].T[:, None, :]).reshape(-1)
+                for f in range(spec.n_features))
+            parts.append(scatter_add_pallas(idx_g, streams, rows,
                                             interpret=interpret))
         dtable = jnp.concatenate(parts, axis=0)
         return dtable.astype(table.dtype), dx

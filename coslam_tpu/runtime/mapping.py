@@ -70,6 +70,7 @@ def make_first_frame_step(model, config: Dict, map_tx, H: int, W: int,
 
     @jax.jit
     def step(map_params, map_opt_state, c2w, frame_rays, key):
+        model.remat = True  # trace-time: map grads need rematerialization
         dirs_all = frame_rays[:, :3]
         rgb_all = frame_rays[:, 3:6]
         d_all = frame_rays[:, 6:7]
@@ -130,6 +131,7 @@ def make_current_frame_step(model, config: Dict, map_tx, mesh=None):
 
     @jax.jit
     def step(grid_params, decoder_params, cur_opt_state, c2w, frame_rays, key):
+        model.remat = True  # trace-time: map grads need rematerialization
         dirs_all = frame_rays[:, :3]
         rgb_all = frame_rays[:, 3:6]
         d_all = frame_rays[:, 6:7]
@@ -198,6 +200,7 @@ def make_ba_step(model, config: Dict, map_tx, max_kf: int, rays_per_kf: int,
     @jax.jit
     def step(map_params, map_opt_state, kf_rays, kf_count, kf_poses,
              cur_pose, cur_rays, key):
+        model.remat = True  # trace-time: map grads need rematerialization
         n_cur_pix = cur_rays.shape[0]
         # Tangent-space parameters for all keyframes + current frame.
         all_poses0 = jnp.concatenate([kf_poses, cur_pose[None]], axis=0)

@@ -63,6 +63,11 @@ def make_tracking_step(model, config: Dict, mesh=None):
         target_rgb = maybe_shard(rays[:, 3:6], mesh)
         target_d = maybe_shard(rays[:, 6:7], mesh)
 
+        # Executed at trace time: tracking differentiates only the pose,
+        # so skip query rematerialization (memory is small; remat would
+        # re-run the encoder gather in the backward pass).
+        model.remat = False
+
         def loss_fn(pp, k):
             c2w = mat_from_tensor(pp["rot"], pp["trans"])[0]
             rays_d = dirs @ c2w[:3, :3].T

@@ -31,8 +31,8 @@ def main(argv=None):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import numpy as np
 
-    from ..data.synth import (AnalyticScene, make_synthetic_config,
-                              make_trajectory, write_replica_format)
+    from ..data.synth import (AnalyticScene, make_scan_trajectory,
+                              make_synthetic_config, write_replica_format)
     from ..eval.benchmark import run_benchmark
     from ..mesh.io import TriMesh
     from ..mesh.mcubes import marching_cubes
@@ -45,11 +45,14 @@ def main(argv=None):
     cfg["mapping"]["first_iters"] = 500
     cfg["mapping"]["sample"] = 2048
     cfg["tracking"]["sample"] = 1024
+    cfg["tracking"]["iter"] = 15
+    cfg["tracking"]["lr_rot"] = 0.004
+    cfg["tracking"]["lr_trans"] = 0.004
     cfg["mesh"]["vis"] = 0
     cfg["mesh"]["voxel_final"] = 0.05
 
     scene = AnalyticScene()
-    poses = make_trajectory(args.frames, orbit_fraction=0.15)
+    poses = make_scan_trajectory(args.frames)
     cam = cfg["cam"]
     print(f"rendering {args.frames} frames at {H}x{W}...", flush=True)
     write_replica_format(datadir, scene, poses, cam["H"], cam["W"],
