@@ -151,29 +151,48 @@ def hashgrid_encode(spec: HashGridSpec, table: jnp.ndarray,
     bandwidth of the dominant random-access traffic — the tcnn analogue
     stores fp16 parameters); master parameters and gradients stay f32.
     """
-    if compute_dtype is not None and table.dtype != compute_dtype:
-        table = table.astype(compute_dtype)
-    x = jnp.clip(x, 0.0, 1.0)
-    res = jnp.array(spec.resolutions, dtype=x.dtype)  # [L]
-    pos = x[:, None, :] * res[None, :, None]          # [N, L, 3]
-    grid_i = jnp.floor(pos).astype(jnp.int32)
-    grid_i = jnp.minimum(grid_i, (res[None, :, None]).astype(jnp.int32) - 0)
-    w = pos - grid_i.astype(x.dtype)                  # [N, L, 3] in [0,1)
+    n = x.shape[0]
+    table_t = table.T                                  # [F, T]
+    if compute_dtype is not None and table_t.dtype != compute_dtype:
+        table_t = table_t.astype(compute_dtype)
 
-    idx = _corner_indices(spec, grid_i)               # [N, L, 8]
-    feats = table[idx].astype(x.dtype)                # [N, L, 8, F]
+    # All intermediates are laid out [..., N] so the minor (lane) dim is
+    # the large point axis — [.., 8]- or [.., F]-minor layouts tile-pad
+    # 16-64x in HBM and dominated the runtime in the naive formulation.
+    xt = jnp.clip(x, 0.0, 1.0).T                       # [3, N]
+    res = jnp.array(spec.resolutions, dtype=x.dtype)   # [L]
+    pos = res[:, None, None] * xt[None, :, :]          # [L, 3, N]
+    gi = jnp.floor(pos)
+    w = pos - gi                                       # [L, 3, N]
+    gi = gi.astype(jnp.int32)
 
-    # Trilinear weights for the 8 corners; corner bit c=(bx,by,bz) with
-    # bz the fastest axis (must match _corner_indices ordering).
-    corners = jnp.array(
-        [[(c >> 2) & 1, (c >> 1) & 1, c & 1] for c in range(8)], dtype=x.dtype
-    )  # [8, 3]
-    cw = corners[None, None, :, :] * w[:, :, None, :] + \
-        (1.0 - corners[None, None, :, :]) * (1.0 - w[:, :, None, :])
-    weight = cw[..., 0] * cw[..., 1] * cw[..., 2]     # [N, L, 8]
+    cc = jnp.array([[(c >> 2) & 1, (c >> 1) & 1, c & 1]
+                    for c in range(8)], dtype=jnp.int32)  # [8, 3]
+    coords = gi[:, None, :, :] + cc[None, :, :, None]  # [L, 8, 3, N]
+    resi = jnp.array(spec.resolutions, jnp.int32)
+    coords = jnp.minimum(coords, resi[:, None, None, None])
 
-    out = jnp.sum(feats * weight[..., None], axis=2)  # [N, L, F]
-    return out.reshape(x.shape[0], spec.out_dim)
+    cu = coords.astype(jnp.uint32)
+    h = (cu[:, :, 0] * jnp.uint32(_PRIMES[0])) \
+        ^ (cu[:, :, 1] * jnp.uint32(_PRIMES[1])) \
+        ^ (cu[:, :, 2] * jnp.uint32(_PRIMES[2]))
+    hash_idx = (h & jnp.uint32(2 ** spec.log2_hashmap_size - 1)
+                ).astype(jnp.int32)
+    r1 = resi + 1
+    dense_idx = (coords[:, :, 0] * r1[:, None, None] + coords[:, :, 1]) \
+        * r1[:, None, None] + coords[:, :, 2]
+    hashed = jnp.array(spec.hashed, dtype=bool)
+    offs = jnp.array(spec.offsets, dtype=jnp.int32)
+    idx = jnp.where(hashed[:, None, None], hash_idx, dense_idx) \
+        + offs[:, None, None]                          # [L, 8, N]
+
+    feats = table_t[:, idx].astype(x.dtype)            # [F, L, 8, N]
+    cw = jnp.where(cc[None, :, :, None] == 1,
+                   w[:, None, :, :], 1.0 - w[:, None, :, :])  # [L, 8, 3, N]
+    weight = cw[:, :, 0] * cw[:, :, 1] * cw[:, :, 2]   # [L, 8, N]
+
+    out = jnp.sum(feats * weight[None], axis=2)        # [F, L, N]
+    return out.transpose(2, 1, 0).reshape(n, spec.out_dim)
 
 
 def _hash_corners_and_weights(spec: HashGridSpec, x: jnp.ndarray):
