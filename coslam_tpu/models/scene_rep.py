@@ -48,6 +48,9 @@ class JointEncoding:
         # Coordinate encoding (OneBlob by default).
         (self._pos_init, self._pos_apply, self.input_ch_pos, _
          ) = enc.make_encoder(config["pos"]["enc"], n_bins=config["pos"]["n_bins"])
+        # Remat only pays off for legacy grid impls with big residuals.
+        self.needs_remat = config["grid"].get("grad_impl", "auto") not in (
+            "auto", "packed")
 
         # Sparse parametric encoding (SDF grid). grad_impl selects the
         # table-gradient path ('onehot' = MXU matmul, default on TPU).
@@ -131,16 +134,17 @@ class JointEncoding:
         Normalizes to the unit cube first (reference
         model/scene_rep.py:173-191). No host-side chunking: XLA tiles it.
 
-        When self.remat is set (mapping megasteps), the query is
-        rematerialized (jax.checkpoint): saving the encoder's per-point
-        intermediates (gathered features, trilinear weights — ~1 KB/point)
-        across an optimization scan costs GBs of HBM; the backward pass
-        recomputes the encode from the saved points instead. Tracking
-        (small batches, pose-only grads) skips remat for ~2x less work.
+        When self.remat is set (mapping megasteps under a LEGACY
+        grad_impl), the query is rematerialized (jax.checkpoint): the
+        legacy encoders' autodiff residuals (~1 KB/point) are too big to
+        save across an optimization scan. The default 'packed' encoder
+        has a custom VJP with compact residuals (bf16 pair features), so
+        remat would only force a second gather pass — it is skipped
+        regardless of the flag (see ops/hash_packed.py).
         """
         flat = pts.reshape(-1, 3)
         flat = self.normalize_coords(flat)
-        if getattr(self, "remat", True):
+        if getattr(self, "remat", True) and self.needs_remat:
             raw = jax.checkpoint(self.query_color_sdf)(params, flat)
         else:
             raw = self.query_color_sdf(params, flat)

@@ -286,12 +286,16 @@ def oneblob_encode(x: jnp.ndarray, n_bins: int = 16) -> jnp.ndarray:
     x: [N, D] in [0, 1]. Each scalar is encoded as the mass a quartic
     kernel (sigma = 1/n_bins) centered at x deposits in each of n_bins
     uniform bins. Returns [N, D*n_bins].
+
+    Computed transpose-major ([bins, D, N] with the big point axis minor)
+    so no intermediate lane-pads; one transpose at the end.
     """
+    xt = x.T                                                      # [D, N]
     edges = jnp.arange(n_bins + 1, dtype=x.dtype) / n_bins        # [B+1]
-    u = (edges[None, None, :] - x[..., None]) * n_bins            # [N, D, B+1]
+    u = (edges[:, None, None] - xt[None]) * n_bins                # [B+1, D, N]
     cdf = _quartic_cdf(u)
-    feats = cdf[..., 1:] - cdf[..., :-1]                          # [N, D, B]
-    return feats.reshape(x.shape[0], -1)
+    feats = cdf[1:] - cdf[:-1]                                    # [B, D, N]
+    return feats.transpose(2, 1, 0).reshape(x.shape[0], -1)
 
 
 def freq_encode(x: jnp.ndarray, n_frequencies: int = 12) -> jnp.ndarray:
@@ -345,17 +349,28 @@ def sh_encode(d: jnp.ndarray, degree: int = 4) -> jnp.ndarray:
 
 def _grid_apply_fn(spec: HashGridSpec, grad_impl: str = "auto"):
     """Pick the table-gradient implementation:
-      'scatter' — XLA autodiff scatter-add (CPU/GPU default)
-      'onehot'  — MXU one-hot matmul custom VJP (O(M*T) FLOPs, fast on
-                  full-rate MXUs)
-      'pallas'  — Pallas VMEM-accumulator serial scatter (O(M), exact,
-                  deterministic; TPU default)
+      'packed'  — packed z-linear layout: wide-row gathers + pair-RMW
+                  Pallas scatter (ops/hash_packed.py; default — ~4x the
+                  'pallas' path on TPU). On CPU the same math runs as
+                  pure XLA (identical numerics, autodiff scatter).
+      'scatter' — XOR hash, XLA autodiff scatter-add
+      'onehot'  — XOR hash, MXU one-hot matmul custom VJP (O(M*T) FLOPs,
+                  competitive only on full-rate MXUs)
+      'pallas'  — XOR hash, Pallas single-row serial scatter
     On TPU the gather also reads the table as bf16 (tcnn stores fp16
     params); master params/gradients stay f32."""
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     compute_dtype = jnp.bfloat16 if on_tpu else None
     if grad_impl == "auto":
-        grad_impl = "pallas" if on_tpu else "scatter"
+        grad_impl = "packed"
+    if grad_impl == "packed":
+        # spec here is a PackedGridSpec (built by make_encoder).
+        from . import hash_packed as HP
+
+        if on_tpu:
+            enc = HP.make_packed_encode(spec, jnp.bfloat16)
+            return lambda p, x: enc(p, x)
+        return lambda p, x: HP.packed_encode_fwd_only(spec, p, x)
     if grad_impl == "pallas":
         from .hash_pallas import make_hashgrid_encode_pallas_bwd
 
@@ -379,8 +394,17 @@ def make_encoder(encoding: str, input_dim: int = 3, degree: int = 4,
     reference): dense, hash/tiled, spherical, blob, freq, identity.
     """
     name = encoding.lower()
+    packed = grad_impl in ("auto", "packed")
 
     if "dense" in name:
+        if packed:
+            from . import hash_packed as HP
+            spec = HP.make_packed_spec(
+                desired_resolution, log2_hashmap_size, n_levels=4,
+                n_features=level_dim, base_resolution=base_resolution,
+                dense_only=True)
+            return (lambda key: HP.init_packed(key, spec),
+                    _grid_apply_fn(spec, grad_impl), spec.out_dim, spec)
         spec = make_hashgrid_spec(desired_resolution, log2_hashmap_size,
                                   n_levels=4, n_features=level_dim,
                                   base_resolution=base_resolution, dense_only=True)
@@ -389,6 +413,13 @@ def make_encoder(encoding: str, input_dim: int = 3, degree: int = 4,
                 spec.out_dim, spec)
 
     if "hash" in name or "tiled" in name:
+        if packed:
+            from . import hash_packed as HP
+            spec = HP.make_packed_spec(
+                desired_resolution, log2_hashmap_size, n_levels=n_levels,
+                n_features=level_dim, base_resolution=base_resolution)
+            return (lambda key: HP.init_packed(key, spec),
+                    _grid_apply_fn(spec, grad_impl), spec.out_dim, spec)
         spec = make_hashgrid_spec(desired_resolution, log2_hashmap_size,
                                   n_levels=n_levels, n_features=level_dim,
                                   base_resolution=base_resolution)

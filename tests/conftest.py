@@ -24,24 +24,43 @@ if ".axon_site" in _PYPATH or os.environ.get("JAX_PLATFORMS") == "axon":
         env["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8").strip()
     # pytest's fd-level capture is already active during conftest import,
-    # so fds 1/2 point at its temp files; write the child's report to the
-    # controlling terminal if available, and always to a log file.
+    # so fds 1/2 point at its temp files — but pytest keeps dups of the
+    # ORIGINAL stdout/stderr open. Find every fd that is a pipe or
+    # terminal (the invoking console), dedupe by target, and echo the
+    # child's report to each so the caller actually sees it; also keep
+    # the full log at /tmp/pytest_reexec.log.
     proc = subprocess.run(
         [sys.executable, "-m", "pytest", *sys.argv[1:]], env=env,
         capture_output=True, text=True)
     report = proc.stdout[-20000:] + proc.stderr[-4000:]
     with open("/tmp/pytest_reexec.log", "w") as f:
         f.write(proc.stdout + proc.stderr)
-    for sink in ("/dev/tty", None):
+
+    sinks = {}
+    try:
+        for fd_name in os.listdir("/proc/self/fd"):
+            fd = int(fd_name)
+            try:
+                target = os.readlink(f"/proc/self/fd/{fd}")
+            except OSError:
+                continue
+            if target.startswith("pipe:") or target.startswith("/dev/pts") \
+                    or target == "/dev/tty":
+                sinks.setdefault(target, fd)
+    except OSError:
+        pass
+    wrote = False
+    for fd in sinks.values():
         try:
-            if sink:
-                with open(sink, "w") as t:
-                    t.write(report)
-            else:
-                os.write(2, report.encode())
-            break
+            os.write(fd, report.encode())
+            wrote = True
         except OSError:
             continue
+    if not wrote:
+        try:
+            os.write(2, report.encode())
+        except OSError:
+            pass
     os._exit(proc.returncode)
 
 os.environ["JAX_PLATFORMS"] = "cpu"
