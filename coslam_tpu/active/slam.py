@@ -70,41 +70,67 @@ class ActiveCoSLAM(CoSLAM):
 
         return info_gain, n_samples
 
-    def select_info_gain_keyframes(self, frame_id: int):
-        """Evaluate the holdout window and return the top-K frame ids."""
+    def select_info_gain_indices(self, holdout_view):
+        """Rank a holdout DatasetView by expected information gain and
+        return the view-local indices of the top-K frames
+        (reference ac_coslam.py:1049-1108)."""
         if self._info_gain_fn is None:
             self._info_gain_fn = self._build_info_gain()
         info_gain, n_samples = self._info_gain_fn
-
-        ds_rate = self.config["active"]["downsample_rate"]
         k = self.config["active"]["choose_k"]
-        # Holdout window: the 10 frames starting at frame_id - 4
-        # (reference ac_coslam.py:1060).
-        start = max(1, frame_id - 4)
-        window = [i for i in range(start, min(start + 10, len(self.dataset)))]
 
         idx = self._rng.choice(self.dataset.H * self.dataset.W,
                                size=n_samples, replace=False)
         gains = []
-        for i in window:
-            batch = self.dataset[i]
+        for j in range(len(holdout_view)):
+            batch = holdout_view[j]
+            fid = int(batch["frame_id"])
             flat = self._frame_rays_flat(batch)[idx]
             pre, post = info_gain(self.params, self._next_key(),
                                   jnp.asarray(flat),
-                                  jnp.asarray(self.est_c2w[i] if
-                                              np.any(self.est_c2w[i]) else
+                                  jnp.asarray(self.est_c2w[fid] if
+                                              np.any(self.est_c2w[fid]) else
                                               batch["c2w"]))
             gains.append(float(pre) - float(post))
         order = np.argsort(gains)[::-1]
-        return [window[j] for j in order[:k]]
+        return [int(j) for j in order[:k]]
+
+    def _grow_train_set(self, train_ds, holdout, as_keyframes: bool,
+                        verbose: bool):
+        """Append the info-gain top-K of the next holdout window to the
+        train set and drop them from the pool; optionally insert them as
+        keyframes (reference ac_coslam.py:1106-1131)."""
+        wsize = min(10, len(holdout))
+        window = holdout.slice(range(wsize))
+        top = self.select_info_gain_indices(window)
+        chosen = window.slice(top)
+        train_ds = train_ds + chosen
+        holdout = holdout.remove(top)
+        if as_keyframes:
+            existing = set(self.kf_db.frame_ids[:self.kf_db.count])
+            for j in range(len(chosen)):
+                cb = chosen[j]
+                if int(cb["frame_id"]) not in existing:
+                    self.add_keyframe(cb)
+                    if verbose:
+                        print(f"info-gain keyframe: {int(cb['frame_id'])} "
+                              f"(train set -> {len(train_ds)})")
+        return train_ds, holdout
 
     def run(self, n_frames: Optional[int] = None, verbose: bool = True,
             eval_ate: bool = True):
-        """Per-frame loop with info-gain keyframing after `init_image`
-        frames (reference ac_coslam.py:1004-1131)."""
+        """Active per-frame loop with a GROWING training set
+        (reference ac_coslam.py:956-1172): the run starts on the first
+        ``init_image`` frames; every keyframe interval past that, the
+        info-gain top-K of the next holdout window are appended to the
+        train set (and the loop bound re-derived from its new length),
+        removed from the holdout pool, and inserted as keyframes. The
+        training distribution therefore concentrates on high-information
+        frames — the point of the ActiveCoSLAM variant."""
         import os
 
         from ..eval.ate import pose_evaluation
+        from ..runtime.tracking import predict_current_pose
 
         cfg = self.config
         active = cfg["active"]
@@ -112,41 +138,67 @@ class ActiveCoSLAM(CoSLAM):
         os.makedirs(out, exist_ok=True)
         total = len(self.dataset) if n_frames is None else min(
             n_frames, len(self.dataset))
+        init_image = int(active["init_image"])
 
-        for i in range(total):
-            batch = self.dataset[i]
+        if active["isActive"] and init_image < total:
+            train_ds = self.dataset.slice(range(0, init_image))
+            holdout = self.dataset.slice(range(init_image, total))
+        else:
+            train_ds = self.dataset.slice(range(0, total))
+            holdout = self.dataset.slice([])
+
+        processed = []  # frame ids in processing order (for pose init)
+        i = 0
+        while i < len(train_ds):  # bound re-read each lap: the set grows
+            batch = train_ds[i]
+            fid = int(batch["frame_id"])
             if i == 0:
                 self.first_frame_mapping(batch)
+                processed.append(fid)
+                i += 1
                 continue
 
-            self.tracking_render(batch, i)
+            prev = self.est_c2w[processed[-1]]
+            prev_prev = (self.est_c2w[processed[-2]]
+                         if len(processed) >= 2 else None)
+            c2w_init = predict_current_pose(prev, prev_prev,
+                                            cfg["tracking"]["const_speed"])
+            self.tracking_render(batch, fid, c2w_init=c2w_init)
+            processed.append(fid)
             if verbose:
                 loss, psnr, err = self._last_track_info
-                print(f"it: {i}, loss: {loss:.5f}, psnr: {psnr:.3f}, "
-                      f"pose L1 vs gt: {err:.5f}")
+                print(f"it: {i} (frame {fid}), loss: {loss:.5f}, "
+                      f"psnr: {psnr:.3f}, pose L1 vs gt: {err:.5f}")
 
             if i % cfg["mapping"]["map_every"] == 0:
-                self.global_BA(batch, i)
+                self.global_BA(batch, fid)
 
             if i % cfg["mapping"]["keyframe_every"] == 0:
-                if (not active["isActive"]) or i <= active["init_image"]:
+                if (not active["isActive"]) or i <= init_image \
+                        or len(holdout) == 0:
                     self.add_keyframe(batch)
                 else:
-                    chosen = self.select_info_gain_keyframes(i)
-                    existing = set(self.kf_db.frame_ids[:self.kf_db.count])
-                    for fid in chosen:
-                        if fid not in existing:
-                            self.add_keyframe(self.dataset[fid])
-                            if verbose:
-                                print(f"info-gain keyframe: {fid}")
+                    train_ds, holdout = self._grow_train_set(
+                        train_ds, holdout, as_keyframes=True,
+                        verbose=verbose)
+            if (active["isActive"] and len(holdout) > 0
+                    and i == len(train_ds) - 1):
+                # Train set about to run dry: pull the next info-gain
+                # window so the run continues through the sequence (the
+                # reference's i_end = len(train_dataset) re-derivation,
+                # ac_coslam.py:1172).
+                train_ds, holdout = self._grow_train_set(
+                    train_ds, holdout, as_keyframes=False, verbose=verbose)
 
             if cfg["mesh"]["vis"] and i % cfg["mesh"]["vis"] == 0:
                 try:
                     self.save_mesh(i, voxel_size=cfg["mesh"]["voxel_eval"])
                 except Exception as e:
                     print(f"mesh save failed: {e}")
+            i += 1
 
-        i = total - 1
+        self.train_set_size = len(train_ds)  # final i_end (ac_coslam:1172)
+        i = len(train_ds) - 1
         self.save_checkpoint(os.path.join(out, f"checkpoint{i}.npz"))
         results = None
         if eval_ate:

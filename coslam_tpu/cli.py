@@ -26,6 +26,9 @@ def main(argv=None):
                         help="process only the first N frames")
     parser.add_argument("--ckpt", type=str, default=None,
                         help="resume from a checkpoint .npz")
+    parser.add_argument("--devices", type=int, default=None,
+                        help="shard ray batches over N devices "
+                             "(data-parallel mesh; overrides parallel.dp)")
     args = parser.parse_args(argv)
 
     # Persistent compilation cache (first compile of the megasteps is slow).
@@ -42,6 +45,8 @@ def main(argv=None):
         cfg["data"]["datadir"] = args.input_folder
     if args.output is not None:
         cfg["data"]["output"] = args.output
+    if args.devices is not None:
+        cfg.setdefault("parallel", {})["dp"] = args.devices
 
     time_str = datetime.now().strftime("%m%d_%H%M")
     save_path = os.path.join(cfg["data"]["output"],

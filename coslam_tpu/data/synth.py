@@ -1,0 +1,284 @@
+"""Analytic synthetic RGB-D scene: exact-SDF room, sphere-traced renders.
+
+Self-contained ground-truth generator for tests and the quality
+benchmark (this environment has no network access to real Replica/TUM
+data; the reference repo assumes pre-downloaded datasets). The scene is
+a closed textured room with three textured objects, rendered by sphere
+tracing the exact SDF — so ground-truth depth, poses, and the GT mesh
+(marching cubes over ``AnalyticScene.sdf``) are all analytically
+consistent, which lets loader/eval/benchmark tests assert tight error
+bounds instead of smoke-checking shapes.
+
+``write_replica_format`` serializes a rendered trajectory in the Replica
+on-disk layout (results/frame*.jpg + results/depth*.png + traj.txt,
+reference datasets/dataset.py:188-267), so the standard ReplicaDataset
+loader and the full CLI path run on synthetic scenes unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Tuple
+
+import numpy as np
+
+from ..ops.rays import get_camera_rays
+
+_ROOM_HALF = 2.0  # wall positions: |x|,|y|,|z| = 2
+
+
+class AnalyticScene:
+    """Closed room (walls at +-2) containing a sphere, a rounded box and
+    a capped cylinder. ``sdf`` is an exact signed distance (positive in
+    free space), which sphere tracing and SDF-supervised losses rely on."""
+
+    sphere_c = np.array([0.7, -1.35, 0.55], np.float32)
+    sphere_r = 0.6
+    box_c = np.array([-1.1, -1.5, -0.6], np.float32)
+    box_half = np.array([0.45, 0.5, 0.45], np.float32)
+    box_round = 0.04
+    cyl_c = np.array([0.9, -1.3, -1.0], np.float32)
+    cyl_r = 0.35
+    cyl_h = 0.7
+
+    def _parts(self, p: np.ndarray) -> Tuple[np.ndarray, ...]:
+        """Component SDFs at p [..., 3] -> (room, sphere, box, cylinder)."""
+        room = _ROOM_HALF - np.abs(p).max(axis=-1)
+
+        sph = np.linalg.norm(p - self.sphere_c, axis=-1) - self.sphere_r
+
+        q = np.abs(p - self.box_c) - (self.box_half - self.box_round)
+        box = (np.linalg.norm(np.maximum(q, 0.0), axis=-1)
+               + np.minimum(q.max(axis=-1), 0.0) - self.box_round)
+
+        pc = p - self.cyl_c
+        dxz = np.sqrt(pc[..., 0] ** 2 + pc[..., 2] ** 2) - self.cyl_r
+        dy = np.abs(pc[..., 1]) - self.cyl_h
+        cyl = (np.minimum(np.maximum(dxz, dy), 0.0)
+               + np.sqrt(np.maximum(dxz, 0.0) ** 2
+                         + np.maximum(dy, 0.0) ** 2))
+        return room, sph, box, cyl
+
+    def sdf(self, p: np.ndarray) -> np.ndarray:
+        """Exact SDF at p [..., 3]: positive in free space."""
+        room, sph, box, cyl = self._parts(np.asarray(p, np.float32))
+        return np.minimum(np.minimum(room, sph), np.minimum(box, cyl))
+
+    def normal(self, p: np.ndarray, eps: float = 1e-3) -> np.ndarray:
+        """Finite-difference SDF gradient, normalized."""
+        p = np.asarray(p, np.float32)
+        n = np.stack(
+            [self.sdf(p + e) - self.sdf(p - e)
+             for e in (np.array([eps, 0, 0]), np.array([0, eps, 0]),
+                       np.array([0, 0, eps]))], axis=-1)
+        return n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+
+    def albedo(self, p: np.ndarray) -> np.ndarray:
+        """Textured per-component albedo [..., 3] in [0, 1]. High-frequency
+        texture everywhere is what makes photometric tracking well-posed."""
+        p = np.asarray(p, np.float32)
+        room, sph, box, cyl = self._parts(p)
+        which = np.argmin(np.stack([room, sph, box, cyl], axis=-1), axis=-1)
+
+        checker = ((np.floor(p[..., 0] * 2.5) + np.floor(p[..., 1] * 2.5)
+                    + np.floor(p[..., 2] * 2.5)) % 2)
+        wall = np.stack([0.55 + 0.25 * checker,
+                         0.52 + 0.20 * checker,
+                         0.48 + 0.15 * checker], axis=-1)
+        bands = 0.5 + 0.5 * np.sin(12.0 * p[..., 1])
+        sphere = np.stack([0.75 + 0.2 * bands, 0.25 + 0.2 * bands,
+                           0.20 + 0.1 * bands], axis=-1)
+        stripes = 0.5 + 0.5 * np.sin(9.0 * (p[..., 0] + p[..., 2]))
+        boxc = np.stack([0.20 + 0.15 * stripes, 0.65 + 0.25 * stripes,
+                         0.25 + 0.1 * stripes], axis=-1)
+        ang = np.arctan2(p[..., 2] - self.cyl_c[2], p[..., 0] - self.cyl_c[0])
+        spin = 0.5 + 0.5 * np.sin(6.0 * ang)
+        cylc = np.stack([0.20 + 0.1 * spin, 0.30 + 0.2 * spin,
+                         0.70 + 0.25 * spin], axis=-1)
+
+        out = np.select([which[..., None] == 0, which[..., None] == 1,
+                         which[..., None] == 2, which[..., None] == 3],
+                        [wall, sphere, boxc, cylc])
+        return out.astype(np.float32)
+
+    def shade(self, p: np.ndarray) -> np.ndarray:
+        """Lambert shading with a fixed light; rgb [..., 3] in [0, 1]."""
+        light = np.array([0.45, 0.80, 0.35], np.float32)
+        light = light / np.linalg.norm(light)
+        lam = np.maximum((self.normal(p) * light).sum(-1), 0.0)
+        rgb = self.albedo(p) * (0.55 + 0.45 * lam)[..., None]
+        return np.clip(rgb, 0.0, 1.0).astype(np.float32)
+
+
+def render_frame(scene: AnalyticScene, c2w: np.ndarray, H: int, W: int,
+                 fx: float, fy: float, cx: float, cy: float,
+                 max_steps: int = 96, far: float = 12.0
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """Sphere-trace one frame -> (rgb [H,W,3] in [0,1], depth [H,W]).
+
+    Depth is the OpenGL z-depth (the ray parameter t of p = o + d*t with
+    the unnormalized d of ``get_camera_rays``, whose z component is -1),
+    matching what the dataset loaders hand the SLAM loop.
+    """
+    c2w = np.asarray(c2w, np.float32)
+    dirs = get_camera_rays(H, W, fx, fy, cx, cy).reshape(-1, 3)
+    d = (dirs @ c2w[:3, :3].T).astype(np.float32)
+    o = c2w[:3, 3].astype(np.float32)
+    dn = np.linalg.norm(d, axis=-1)
+
+    n = d.shape[0]
+    t = np.zeros(n, np.float32)
+    active = np.arange(n)
+    for _ in range(max_steps):
+        p = o + d[active] * t[active, None]
+        s = scene.sdf(p)
+        t[active] += 0.95 * s / dn[active]
+        keep = (np.abs(s) > 1e-4) & (t[active] < far)
+        active = active[keep]
+        if active.size == 0:
+            break
+    # Undamped polish: SDF is exact, two Newton steps land on the surface.
+    for _ in range(2):
+        p = o + d * t[:, None]
+        t += scene.sdf(p) / dn
+    t = np.clip(t, 0.0, far)
+    rgb = scene.shade(o + d * t[:, None]).reshape(H, W, 3)
+    return rgb, t.reshape(H, W).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Trajectories
+# ---------------------------------------------------------------------------
+
+
+def _look_at(eye: np.ndarray, target: np.ndarray,
+             up=np.array([0.0, 1.0, 0.0])) -> np.ndarray:
+    """OpenGL c2w: camera -z looks from eye toward target."""
+    z = eye - target
+    z = z / np.linalg.norm(z)
+    x = np.cross(up, z)
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = x, y, z, eye
+    return c2w
+
+
+def make_trajectory(n: int, orbit_fraction: float = 1.0, radius: float = 1.1,
+                    height: float = 0.35) -> np.ndarray:
+    """[n, 4, 4] orbit inside the room, looking at the object cluster.
+    ``orbit_fraction`` scales the total swept angle (0.02 -> a short,
+    easy-to-track arc)."""
+    poses = []
+    target = np.array([0.0, -0.8, 0.0])
+    for i in range(n):
+        th = 2.0 * np.pi * orbit_fraction * i / max(n, 1) + 0.7
+        eye = np.array([radius * np.cos(th),
+                        height + 0.08 * np.sin(2 * th),
+                        radius * np.sin(th)])
+        poses.append(_look_at(eye, target))
+    return np.stack(poses).astype(np.float32)
+
+
+def make_scan_trajectory(n: int, deg_per_frame: float = 2.5) -> np.ndarray:
+    """[n, 4, 4] room-coverage scan: the camera drifts on a slow inner
+    orbit while the view direction sweeps the walls with a pitch
+    oscillation. The angular velocity is CONSTANT (``deg_per_frame``,
+    default 2.5 deg — inside the tracker's convergence basin), so longer
+    sequences sweep more of the room instead of spinning faster; ~300
+    frames cover most of it (the benchmark protocol's operating point)."""
+    poses = []
+    total = np.deg2rad(deg_per_frame) * n
+    for i in range(n):
+        th = np.deg2rad(deg_per_frame) * i
+        eye = np.array([0.75 * np.cos(0.25 * th),
+                        0.15 + 0.25 * np.sin(0.75 * th),
+                        0.75 * np.sin(0.25 * th)])
+        target = np.array([1.9 * np.cos(th + 0.5),
+                           -0.4 + 1.1 * np.sin(th + 1.0),
+                           1.9 * np.sin(th + 0.5)])
+        poses.append(_look_at(eye, target))
+    del total
+    return np.stack(poses).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Serialization + config
+# ---------------------------------------------------------------------------
+
+
+def write_replica_format(datadir: str, scene: AnalyticScene,
+                         poses: np.ndarray, H: int, W: int, fx: float,
+                         fy: float, cx: float, cy: float,
+                         png_depth_scale: float = 6553.5) -> None:
+    """Render ``poses`` and write the Replica on-disk layout
+    (results/frame%06d.jpg + results/depth%06d.png + traj.txt)."""
+    import cv2
+
+    results = os.path.join(datadir, "results")
+    os.makedirs(results, exist_ok=True)
+    lines = []
+    for i, c2w in enumerate(poses):
+        rgb, depth = render_frame(scene, c2w, H, W, fx, fy, cx, cy)
+        bgr = cv2.cvtColor((rgb * 255).astype(np.uint8), cv2.COLOR_RGB2BGR)
+        cv2.imwrite(os.path.join(results, f"frame{i:06d}.jpg"), bgr,
+                    [cv2.IMWRITE_JPEG_QUALITY, 97])
+        d16 = np.clip(depth * png_depth_scale, 0, 65535).astype(np.uint16)
+        cv2.imwrite(os.path.join(results, f"depth{i:06d}.png"), d16)
+        # The loader flips y/z columns back to OpenGL; pre-flip on write.
+        file_pose = np.array(c2w, np.float64)
+        file_pose[:3, 1] *= -1
+        file_pose[:3, 2] *= -1
+        lines.append(" ".join(f"{v:.10f}" for v in file_pose.reshape(-1)))
+    with open(os.path.join(datadir, "traj.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def make_synthetic_config(datadir: str, output: str, H: int = 40,
+                          W: int = 52, n_frames: int = 8,
+                          exp_name: str = "synth") -> Dict:
+    """Full Co-SLAM config for the analytic scene (same schema as
+    configs/Replica/replica.yaml, sized for small images and CPU tests)."""
+    fx = 0.8 * W
+    return {
+        "dataset": "replica",
+        "data": {"datadir": datadir, "output": output, "exp_name": exp_name,
+                 "trainskip": 1, "downsample": 1, "sc_factor": 1,
+                 "translation": 0, "num_workers": 0, "n_frames": n_frames},
+        "cam": {"H": H, "W": W, "fx": fx, "fy": fx, "cx": (W - 1) / 2.0,
+                "cy": (H - 1) / 2.0, "png_depth_scale": 6553.5,
+                "crop_edge": 0, "near": 0, "far": 8, "depth_trunc": 100.0},
+        "mapping": {
+            "sample": 512, "first_mesh": False, "iters": 10,
+            "cur_frame_iters": 0, "lr_embed": 0.01, "lr_decoder": 0.01,
+            "lr_rot": 0.001, "lr_trans": 0.001, "keyframe_every": 5,
+            "map_every": 5, "n_pixels": 0.05, "first_iters": 200,
+            "optim_cur": True, "min_pixels_cur": 20, "map_accum_step": 1,
+            "pose_accum_step": 5, "map_wait_step": 0, "filter_depth": False,
+            "bound": [[-2.5, 2.5], [-2.5, 2.5], [-2.5, 2.5]],
+            "marching_cubes_bound": [[-2.2, 2.2], [-2.2, 2.2], [-2.2, 2.2]],
+        },
+        "tracking": {
+            "iter": 10, "sample": 512, "pc_samples": 1024,
+            "lr_rot": 0.001, "lr_trans": 0.001, "ignore_edge_W": 4,
+            "ignore_edge_H": 4, "iter_point": 0, "wait_iters": 100,
+            "const_speed": True, "best": True,
+        },
+        "grid": {"enc": "HashGrid", "tcnn_encoding": True, "hash_size": 13,
+                 "voxel_color": 0.08, "voxel_sdf": 0.04, "oneGrid": True},
+        "pos": {"enc": "OneBlob", "n_bins": 16},
+        "decoder": {"geo_feat_dim": 15, "hidden_dim": 32, "num_layers": 2,
+                    "num_layers_color": 2, "hidden_dim_color": 32,
+                    "tcnn_network": False},
+        "training": {
+            "rgb_weight": 5.0, "depth_weight": 0.1, "sdf_weight": 1000,
+            "fs_weight": 10, "eikonal_weight": 0, "smooth_weight": 1e-6,
+            "smooth_pts": 8, "smooth_vox": 0.1, "smooth_margin": 0.05,
+            "n_samples_d": 32, "range_d": 0.1, "n_range_d": 11,
+            "n_importance": 0, "perturb": 1, "white_bkgd": False,
+            "trunc": 0.08, "rot_rep": "axis_angle", "rgb_missing": 0.05,
+        },
+        "mesh": {"resolution": 128, "render_color": False, "vis": 0,
+                 "voxel_eval": 0.08, "voxel_final": 0.08,
+                 "visualisation": False},
+    }

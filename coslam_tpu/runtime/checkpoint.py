@@ -3,7 +3,6 @@
 Replaces the reference's torch.save dict checkpoint (reference
 coslam.py:112-129) with a numpy .npz of the flattened parameter pytree
 plus pose arrays; consumed by mesh culling and ATE tooling the same way.
-An orbax-based variant is exposed for multi-host use.
 """
 
 from __future__ import annotations

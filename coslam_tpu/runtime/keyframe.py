@@ -38,6 +38,7 @@ class KeyFrameDatabase:
         self.rays = jnp.zeros((num_kf, num_rays_to_save, 7), jnp.float32)
         self.frame_ids = np.full((num_kf,), -1, np.int64)
         self.count = 0
+        self._wrap_ptr = 1  # next slot to recycle once the buffer is full
 
         depth_trunc = float(config["cam"]["depth_trunc"])
 
@@ -61,13 +62,26 @@ class KeyFrameDatabase:
         return self.count
 
     def add_keyframe(self, frame_rays: jnp.ndarray, frame_id: int, key,
-                     filter_depth: bool = False) -> None:
-        """frame_rays: [H*W, 7] device array of [dir, rgb, depth]."""
-        self.rays = self._add(self.rays, frame_rays,
-                              jnp.int32(self.count), key,
+                     filter_depth: bool = False) -> int:
+        """frame_rays: [H*W, 7] device array of [dir, rgb, depth].
+
+        Returns the slot written. When the preallocated buffer is full
+        (possible with ActiveCoSLAM's choose_k > 1 adding off-cadence
+        keyframes), recycles the oldest slot >= 1 round-robin — slot 0
+        stays pinned because global BA freezes the first keyframe's pose
+        as the gauge anchor. Without this guard, dynamic_update_slice
+        would silently clamp every overflow into the LAST slot while
+        ``count`` kept climbing past the buffer."""
+        if self.count < self.num_kf:
+            slot = self.count
+            self.count += 1
+        else:
+            slot = self._wrap_ptr
+            self._wrap_ptr = self._wrap_ptr % (self.num_kf - 1) + 1
+        self.rays = self._add(self.rays, frame_rays, jnp.int32(slot), key,
                               filter_depth=filter_depth)
-        self.frame_ids[self.count] = frame_id
-        self.count += 1
+        self.frame_ids[slot] = frame_id
+        return slot
 
     def sample_global_rays(self, key, bs: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Random rays from all stored keyframes (host entry point; the BA

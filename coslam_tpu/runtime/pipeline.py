@@ -78,12 +78,11 @@ class PipelinedCoSLAM(CoSLAM):
                        and not self._stop):
                     time.sleep(0.002)
                 batch = self.dataset[i]
-                params_snapshot = self._shared_params
-                self.params, saved = params_snapshot, self.params
-                try:
-                    self.tracking_render(batch, i)
-                finally:
-                    self.params = saved
+                # Track against the latest published snapshot WITHOUT
+                # touching self.params — the mapper thread owns it and
+                # writes it concurrently from global_BA; a swap/restore
+                # here could silently discard a finished BA update.
+                self.tracking_render(batch, i, params=self._shared_params)
                 if i % map_every == 0 or i % cfg["mapping"]["keyframe_every"] == 0:
                     with self._frames_lock:
                         self._frames[i] = batch

@@ -42,6 +42,30 @@ class CoSLAM:
         self.dataset = dataset if dataset is not None else get_dataset(config)
         self.device = jax.devices()[0]
 
+        # Multi-chip ray-data-parallelism: parallel.dp devices in a 1-D
+        # mesh; ray batches shard over 'dp', parameters replicate, XLA
+        # inserts the gradient psum over ICI (SURVEY §2.7; the reference
+        # is single-GPU). Enabled via config `parallel: {dp: N}` or the
+        # CLI `--devices N`.
+        dp = int((config.get("parallel") or {}).get("dp", 1) or 1)
+        if dp > 1:
+            from ..parallel.sharding import make_mesh
+
+            avail = len(jax.devices())
+            if dp > avail:
+                raise ValueError(
+                    f"parallel.dp={dp} but only {avail} devices visible")
+            for name, size in (("tracking.sample",
+                                config["tracking"]["sample"]),
+                               ("mapping.sample",
+                                config["mapping"]["sample"])):
+                if size % dp:
+                    raise ValueError(
+                        f"{name}={size} not divisible by parallel.dp={dp}")
+            self.mesh = make_mesh(dp)
+        else:
+            self.mesh = None
+
         self.bounding_box = np.array(config["mapping"]["bound"], np.float32)
         self.marching_cube_bound = np.array(
             config["mapping"]["marching_cubes_bound"], np.float32)
@@ -65,12 +89,15 @@ class CoSLAM:
         self.kf_poses = jnp.tile(jnp.eye(4), (num_kf, 1, 1)).astype(jnp.float32)
 
         H, W = self.dataset.H, self.dataset.W
-        self._track_step = make_tracking_step(self.model, config)
+        self._track_step = make_tracking_step(self.model, config,
+                                              mesh=self.mesh)
         self._first_step = make_first_frame_step(self.model, config,
-                                                 self.map_tx, H, W)
+                                                 self.map_tx, H, W,
+                                                 mesh=self.mesh)
         self._ba_step = make_ba_step(self.model, config, self.map_tx,
                                      num_kf, self.dataset.num_rays_to_save,
-                                     self.dataset.num_rays_to_save)
+                                     self.dataset.num_rays_to_save,
+                                     mesh=self.mesh)
         # Small-current-block variant: once kf_count >= sample/maxcur_small
         # the dynamic quota fits in a much smaller fixed block (halves the
         # BA ray count vs always padding to `sample`).
@@ -78,19 +105,24 @@ class CoSLAM:
         self._ba_maxcur_small = max(
             256, int(config["mapping"]["min_pixels_cur"]))
         self._ba_small_min_kf = -(-sample // self._ba_maxcur_small)  # ceil
+        if self.mesh is not None:  # total BA batch must split over 'dp'
+            n_dev = self.mesh.devices.size
+            self._ba_maxcur_small = -(-self._ba_maxcur_small
+                                      // n_dev) * n_dev
         self._ba_step_small = make_ba_step(
             self.model, config, self.map_tx, num_kf,
             self.dataset.num_rays_to_save, self.dataset.num_rays_to_save,
-            maxcur=self._ba_maxcur_small)
+            maxcur=self._ba_maxcur_small, mesh=self.mesh)
         # Optional modes (reference coslam.py:209-249 / :415-500).
         if config["mapping"]["cur_frame_iters"] > 0:
             self._cur_map_tx = _adam_l2(config["mapping"]["lr_embed"],
                                         0.9, 0.99, 1e-15)
             self._cur_map_opt_state = self._cur_map_tx.init(self.params["grid"])
             self._cur_map_step = make_current_frame_step(
-                self.model, config, self._cur_map_tx)
+                self.model, config, self._cur_map_tx, mesh=self.mesh)
         if config["tracking"]["iter_point"] > 0:
-            self._track_pc_step = make_tracking_pc_step(self.model, config)
+            self._track_pc_step = make_tracking_pc_step(self.model, config,
+                                                        mesh=self.mesh)
         self._rng = np.random.default_rng(0)
 
         # Per-phase instrumentation (ms per invocation).
@@ -150,10 +182,23 @@ class CoSLAM:
         self.timings["first_frame"].append((time.perf_counter() - t0) * 1e3)
         return float(loss)
 
-    def tracking_render(self, batch: Dict, frame_id: int) -> float:
-        """Reference coslam.py:502-594."""
+    def tracking_render(self, batch: Dict, frame_id: int,
+                        params: Optional[Dict] = None,
+                        c2w_init: Optional[np.ndarray] = None) -> float:
+        """Reference coslam.py:502-594.
+
+        params: optional explicit parameter snapshot to track against
+        (used by the pipelined runtime so the tracker thread never
+        touches ``self.params``, which the mapper thread owns — the
+        reference's tracker likewise reads a copy and never writes the
+        shared model, mp_slam/tracker.py:24-28).
+        c2w_init: optional explicit initialization (ActiveCoSLAM tracks
+        out-of-order info-gain frames, where frame_id-1 may be untracked)."""
         t0 = time.perf_counter()
-        if self.config["tracking"]["iter_point"] > 0:
+        track_params = self.params if params is None else params
+        if c2w_init is not None:
+            pass
+        elif self.config["tracking"]["iter_point"] > 0:
             # tracking_pc already initialized this frame's pose
             # (reference coslam.py:516-519).
             c2w_init = self.est_c2w[frame_id]
@@ -164,7 +209,7 @@ class CoSLAM:
             c2w_init = predict_current_pose(prev, prev_prev, const_speed)
 
         rays = jnp.asarray(self._sample_tracking_rays(batch))
-        c2w, loss, psnr = self._track_step(self.params, jnp.asarray(c2w_init),
+        c2w, loss, psnr = self._track_step(track_params, jnp.asarray(c2w_init),
                                            rays, self._next_key())
         c2w = np.asarray(c2w)
         self.est_c2w[frame_id] = c2w
@@ -173,8 +218,13 @@ class CoSLAM:
         if frame_id % kf_every != 0:
             kf_frame_id = (frame_id // kf_every) * kf_every
             c2w_key = self.est_c2w[kf_frame_id].astype(np.float64)
-            self.est_c2w_rel[frame_id] = (
-                c2w.astype(np.float64) @ np.linalg.inv(c2w_key)).astype(np.float32)
+            # ActiveCoSLAM tracks frames out of order: the anchor keyframe
+            # may not be tracked yet (all-zero row) — skip the relative
+            # delta then; convert_relative_pose falls back to identity.
+            if np.any(c2w_key):
+                self.est_c2w_rel[frame_id] = (
+                    c2w.astype(np.float64)
+                    @ np.linalg.inv(c2w_key)).astype(np.float32)
         self.timings["tracking"].append((time.perf_counter() - t0) * 1e3)
 
         gt = self.pose_gt.get(frame_id)
@@ -189,11 +239,10 @@ class CoSLAM:
         """Reference model/keyframe.py:67-94 + coslam.py:685-687."""
         if frame_rays is None:
             frame_rays = jnp.asarray(self._frame_rays_flat(batch))
-        self.kf_db.add_keyframe(
+        slot = self.kf_db.add_keyframe(
             frame_rays, int(batch["frame_id"]), self._next_key(),
             filter_depth=self.config["mapping"]["filter_depth"])
         # Mirror the keyframe pose into the device pose table.
-        slot = self.kf_db.count - 1
         self.kf_poses = self.kf_poses.at[slot].set(
             jnp.asarray(self.est_c2w[int(batch["frame_id"])]))
 
@@ -210,8 +259,10 @@ class CoSLAM:
         self.params = {**self.params, "grid": grid}
         return float(loss)
 
-    def tracking_pc(self, batch: Dict, frame_id: int) -> float:
+    def tracking_pc(self, batch: Dict, frame_id: int,
+                    params: Optional[Dict] = None) -> float:
         """Point-cloud-loss tracking (reference coslam.py:415-500)."""
+        track_params = self.params if params is None else params
         const_speed = self.config["tracking"]["const_speed"]
         prev = self.est_c2w[frame_id - 1]
         prev_prev = self.est_c2w[frame_id - 2] if frame_id >= 2 else None
@@ -226,7 +277,7 @@ class CoSLAM:
                                replace=False)
         rays = np.concatenate([dirs[idx], rgb[idx], depth[idx]],
                               axis=1).astype(np.float32)
-        c2w, loss = self._track_pc_step(self.params, jnp.asarray(c2w_init),
+        c2w, loss = self._track_pc_step(track_params, jnp.asarray(c2w_init),
                                         jnp.asarray(rays), self._next_key())
         self.est_c2w[frame_id] = np.asarray(c2w)
         return float(loss)
@@ -325,7 +376,10 @@ class CoSLAM:
         frames = PrefetchIterator(self.dataset, n_frames)
         total = len(frames)
 
+        visualise = bool(cfg["mesh"].get("visualisation"))
         for i, batch in frames:
+            if visualise:
+                self.visualise_frame(batch, i, out)
             if profile_dir and i == 10:
                 jax.profiler.start_trace(profile_dir)
             if profile_dir and i == 20:
@@ -384,6 +438,27 @@ class CoSLAM:
         if verbose:
             self.print_timings()
         return results
+
+    def visualise_frame(self, batch: Dict, i: int, out_dir: str) -> str:
+        """Headless equivalent of the reference's live RGB-D window
+        (reference coslam.py:657-668 + colormap utils.py:208-263): writes
+        an [rgb | turbo-depth] composite to <out>/vis/rgbd_<i>.png. The
+        trajectory view (coslam.py:698-707) is covered by the pose_r_*.png
+        plots that pose_evaluation already writes on the mesh cadence."""
+        import cv2
+
+        from ..tools.viz import colormap_image
+
+        depth = np.asarray(batch["depth"])
+        mask = depth < self.config["cam"]["depth_trunc"]
+        dvis = colormap_image(depth, mask, invalid_color=(1.0, 1.0, 1.0))
+        comp = np.hstack([np.asarray(batch["rgb"]), dvis])
+        vis_dir = os.path.join(out_dir, "vis")
+        os.makedirs(vis_dir, exist_ok=True)
+        path = os.path.join(vis_dir, f"rgbd_{i:05d}.png")
+        cv2.imwrite(path, cv2.cvtColor((comp * 255).astype(np.uint8),
+                                       cv2.COLOR_RGB2BGR))
+        return path
 
     def _pose_dict(self) -> Dict[int, np.ndarray]:
         return {i: self.est_c2w[i] for i in range(len(self.est_c2w))

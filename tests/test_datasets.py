@@ -76,3 +76,68 @@ def test_num_rays_to_save(synth_seq):
     ds = get_dataset(cfg)
     expect = int(cfg["cam"]["H"] * cfg["cam"]["W"] * cfg["mapping"]["n_pixels"])
     assert ds.num_rays_to_save == expect
+
+
+def test_downsample_resizes_everything(synth_seq):
+    """downsample=2 must shrink rgb/depth/direction consistently (the
+    reference resizes in __getitem__, dataset.py:124-127)."""
+    cfg, _, poses = synth_seq
+    cfg2 = {**cfg, "data": {**cfg["data"], "downsample": 2}}
+    ds = get_dataset(cfg2)
+    H2, W2 = cfg["cam"]["H"] // 2, cfg["cam"]["W"] // 2
+    b = ds[0]
+    assert b["rgb"].shape == (H2, W2, 3)
+    assert b["depth"].shape == (H2, W2)
+    assert b["direction"].shape == (H2, W2, 3)
+    assert ds.H == H2 and ds.W == W2
+    # Intrinsics scale with the image; accessing twice must not compound.
+    fx_once = ds.fx
+    _ = ds[1]
+    assert ds.fx == fx_once == cfg["cam"]["fx"] / 2
+    # Back-projection still lands on the GT surface at half resolution.
+    pts = (b["c2w"][:3, 3][None]
+           + (b["direction"].reshape(-1, 3) @ b["c2w"][:3, :3].T)
+           * b["depth"].reshape(-1, 1))
+    from coslam_tpu.data.synth import AnalyticScene
+    assert np.abs(AnalyticScene().sdf(pts)).mean() < 0.02
+
+
+def test_trainskip_strides_frames(synth_seq):
+    cfg, _, _ = synth_seq
+    cfg2 = {**cfg, "data": {**cfg["data"], "trainskip": 2}}
+    ds = get_dataset(cfg2)
+    assert len(ds) == 4  # 8 frames, every 2nd
+    assert ds[1]["frame_id"] == 2
+
+
+def test_rgbdataset_trainskip(tmp_path):
+    """RGBDataset applies trainskip (reference dataset.py:520-533)."""
+    import cv2
+
+    H, W, n = 24, 32, 6
+    rng = np.random.default_rng(7)
+    root = tmp_path / "rgbd"
+    (root / "images").mkdir(parents=True)
+    (root / "depth_filtered").mkdir()
+    lines = []
+    for i in range(n):
+        img = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(root / "images" / f"img{i}.png"), img)
+        d = (rng.uniform(0.5, 3.0, (H, W)) * 1000).astype(np.uint16)
+        cv2.imwrite(str(root / "depth_filtered" / f"depth{i}.png"), d)
+        c2w = np.eye(4)
+        c2w[:3, 3] = [0, 0.1 * i, 0]
+        for row in c2w:
+            lines.append(" ".join(f"{v}" for v in row))
+    (root / "poses.txt").write_text("\n".join(lines) + "\n")
+
+    from coslam_tpu.data.datasets import RGBDataset
+    from coslam_tpu.data.synth import make_synthetic_config
+
+    cfg = make_synthetic_config("unused", "unused", H=H, W=W)
+    cfg["dataset"] = "synthetic"
+    cfg["cam"]["png_depth_scale"] = 1000.0
+    cfg["data"]["trainskip"] = 2
+    ds = RGBDataset(cfg, str(root))
+    assert len(ds) == 3  # frames 0, 2, 4
+    np.testing.assert_allclose(ds[2]["c2w"][:3, 3], [0, 0.4, 0], atol=1e-6)

@@ -36,6 +36,40 @@ def test_pipelined_slam(small_seq):
     assert slam.tracking_idx == 11
 
 
+def test_pipeline_params_ownership(small_seq):
+    """The mapper thread OWNS self.params: no tracker-side write may
+    ever clobber a finished BA update (the round-1 swap/restore race).
+    Instruments the params attribute and asserts every write came from
+    the mapper (or main) thread, and that the final params object is the
+    one the last mapper update produced."""
+    import threading
+
+    from coslam_tpu.runtime.pipeline import PipelinedCoSLAM
+
+    writes = []
+
+    class InstrumentedSLAM(PipelinedCoSLAM):
+        @property
+        def params(self):
+            return self._params_box
+
+        @params.setter
+        def params(self, value):
+            writes.append((threading.current_thread().name, id(value)))
+            self._params_box = value
+
+    cfg = dict(small_seq)
+    slam = InstrumentedSLAM(cfg)
+    slam.run(verbose=False, eval_ate=False)
+
+    threads = {name for name, _ in writes}
+    assert not any(t == "tracker" for t in threads), \
+        f"tracker thread wrote self.params: {threads}"
+    # Final params is exactly the last write (no restore clobbered it).
+    assert id(slam.params) == writes[-1][1]
+    assert slam.mapping_idx >= 10
+
+
 def test_active_coslam(small_seq):
     from coslam_tpu.active.slam import ActiveCoSLAM
 
@@ -53,6 +87,31 @@ def test_active_coslam(small_seq):
     ret = slam.test(batch, 5)
     assert (ret["uncert_map"] > 0).all()
     assert np.isfinite(ret["rgb_loss"])
+
+
+def test_active_train_set_growth_and_kf_overflow(small_seq):
+    """choose_k=2 grows the train set past the preallocated keyframe
+    buffer: the DB must cap at num_kf (recycling old slots, never
+    clobbering via index clamp) and the train set must visibly grow
+    (reference ac_coslam.py:1106-1172)."""
+    from coslam_tpu.active.slam import ActiveCoSLAM
+
+    cfg = dict(small_seq)
+    cfg["active"] = {"isActive": True, "check_info_gain_every": 5,
+                     "init_image": 3, "choose_k": 2, "w": 0.01,
+                     "downsample_rate": 4, "beta_min": 0.01}
+    slam = ActiveCoSLAM(cfg)
+    num_kf = slam.kf_db.num_kf
+    slam.run(verbose=False, eval_ate=False)
+
+    assert slam.train_set_size > 3  # grew past init_image
+    # Buffer capped, never over-counted; frame ids all valid and unique.
+    assert slam.kf_db.count <= num_kf
+    ids = slam.kf_db.frame_ids[:slam.kf_db.count]
+    assert all(0 <= f < len(slam.dataset) for f in ids)
+    assert len(set(ids)) == len(ids)
+    # First keyframe (BA gauge anchor) is never recycled.
+    assert slam.kf_db.frame_ids[0] == 0
 
 
 def test_dataset_algebra(small_seq):
