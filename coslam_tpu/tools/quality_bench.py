@@ -23,6 +23,10 @@ def main(argv=None):
     p.add_argument("--hw", type=str, default="120x160")
     p.add_argument("--out", default=None)
     p.add_argument("--workdir", default=None)
+    p.add_argument("--dagger", action="store_true",
+                   help="the reference's dagger protocol: double tracking "
+                        "iterations + best-pose selection (configs/"
+                        "Tum_dagger vs configs/Tum: iter 10->20, best on)")
     args = p.parse_args(argv)
 
     import jax
@@ -50,6 +54,9 @@ def main(argv=None):
     cfg["tracking"]["lr_trans"] = 0.004
     cfg["mesh"]["vis"] = 0
     cfg["mesh"]["voxel_final"] = 0.05
+    if args.dagger:
+        cfg["tracking"]["iter"] *= 2
+        cfg["tracking"]["best"] = True
 
     scene = AnalyticScene()
     poses = make_scan_trajectory(args.frames)
@@ -72,6 +79,7 @@ def main(argv=None):
                         culling="frustum_occlusion", n_eval_views=50)
     res["n_frames"] = args.frames
     res["resolution"] = f"{H}x{W}"
+    res["dagger"] = bool(args.dagger)
     res["device"] = str(jax.devices()[0])
     print(json.dumps(res, indent=2))
     if args.out:
