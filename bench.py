@@ -108,6 +108,62 @@ def main():
         lambda: ba(params, opt_state, kf_rays, kf_count,
                    kf_poses, cur_pose, cur_rays, key)[4])
 
+    # -- per-phase breakdown of one BA iteration (steers optimization) ----
+    import copy
+
+    from coslam_tpu.ops import losses as LL
+
+    tr = cfg["training"]
+    n_ba_rays = cfg["mapping"]["sample"] + 256
+    ba_rays = rand_rays(jax.random.PRNGKey(4), n_ba_rays)
+    rays_o0 = jnp.zeros((n_ba_rays, 3))
+
+    def fwd_loss(mp, k):
+        ret = model.forward(mp, k, rays_o0, ba_rays[:, :3],
+                            ba_rays[:, 3:6], ba_rays[:, 6:7])
+        return LL.total_loss(ret, tr)
+
+    fwd_ms = time_fn(lambda: jax.jit(fwd_loss)(params, key), n_warmup=2)
+    grad_ms = time_fn(lambda: jax.jit(jax.grad(fwd_loss))(params, key),
+                      n_warmup=2)
+    smooth_ms = time_fn(lambda: jax.jit(jax.grad(
+        lambda mp, k: model.smoothness(mp, k, tr["smooth_pts"],
+                                       tr["smooth_vox"],
+                                       tr["smooth_margin"])))(params, key),
+        n_warmup=2)
+
+    n_pts = n_ba_rays * (tr["n_samples_d"] + tr["n_range_d"])
+    xpts = jax.random.uniform(key, (n_pts, 3))
+    gout = jax.random.normal(key, (n_pts, model.input_ch))
+    gp = params["grid"]
+    enc = model._grid_apply
+    enc_fwd_ms = time_fn(lambda: jax.jit(
+        lambda: jnp.sum(enc(gp, xpts)))(), n_warmup=2)
+    enc_dtable_ms = time_fn(lambda: jax.jit(
+        lambda: jnp.sum(jax.grad(
+            lambda t: jnp.sum(enc(t, xpts) * gout))(gp)))(), n_warmup=2)
+
+    # -- table-gradient implementation head-to-head (full BA cycle) -------
+    ba_variant_ms = {}
+    for impl in ("packed", "pallas", "onehot", "scatter"):
+        if impl == "packed":
+            ba_variant_ms[impl] = round(ba_ms, 2)
+            continue
+        try:
+            vcfg = copy.deepcopy(cfg)
+            vcfg["grid"]["grad_impl"] = impl
+            vmodel = JointEncoding(vcfg, bb)
+            vparams = vmodel.init_params(jax.random.PRNGKey(0))
+            vopt = map_tx.init(vparams)
+            vba = make_ba_step(vmodel, vcfg, map_tx, num_kf, rays_per_kf,
+                               rays_per_kf, maxcur=256)
+            ba_variant_ms[impl] = round(time_fn(
+                lambda: vba(vparams, vopt, kf_rays, kf_count, kf_poses,
+                            cur_pose, cur_rays, key)[4], n_warmup=1,
+                n_iter=3), 2)
+        except Exception as e:  # variant may not compile on this backend
+            ba_variant_ms[impl] = f"error: {type(e).__name__}"
+
     tracking_fps = 1000.0 / track_ms
     mapping_fps = 1000.0 / ba_ms
     # System throughput: track every frame + map every 5th frame.
@@ -124,6 +180,14 @@ def main():
         "mapping_fps": round(mapping_fps, 2),
         "mapping_fps_vs_baseline": round(mapping_fps / 10.20, 3),
         "system_fps": round(system_fps, 2),
+        "ba_iter_breakdown_ms": {
+            "forward_loss": round(fwd_ms, 2),
+            "forward_backward": round(grad_ms, 2),
+            "smoothness_grad": round(smooth_ms, 2),
+            "encode_fwd": round(enc_fwd_ms, 2),
+            "encode_fwd_dtable": round(enc_dtable_ms, 2),
+        },
+        "ba_cycle_by_grad_impl_ms": ba_variant_ms,
         "n_params": int(n_params),
         "device": str(jax.devices()[0]),
     }))
