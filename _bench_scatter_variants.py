@@ -1,15 +1,11 @@
-"""Pair-scatter kernel variants: what sets the ~140M updates/s ceiling?
+"""Pair-scatter kernel variants: push past the ~155M updates/s rate.
 
-Hypothesis: the serial [2,F] read-modify-write chain is LATENCY-bound
-(each RMW to the single VMEM accumulator must retire before the next
-dependent one issues), not issue-bound. If so, C independent accumulator
-copies with round-robin update distribution should overlap the chains
-and scale throughput up to the true issue rate.
+Measured facts: writeonly (no read) = 183M upd/s -> the kernel is
+ISSUE-bound on the scalar core, not RMW-latency-bound; lane-sliced
+copies (dynamic lane offsets) run 2.3x SLOWER. So the only levers are
+fewer scalar ops per update: pre-clipped indices (landed), packed bf16
+value loads (2 SMEM words instead of 4), unroll/chunk tuning.
 
-Variants, at the BA workload scale (M = 6.34M pair-updates, 64k rows):
-  base      — current pair_scatter (1 accumulator)
-  copies=C  — C scratch accumulators, reduced on the last grid step
-  writeonly — no read (races; timing only): pure issue-rate ceiling
 Run on TPU from repo root: python _bench_scatter_variants.py
 """
 
@@ -28,67 +24,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from coslam_tpu.ops.hash_packed import pair_scatter
 
-_CHUNK = 8192
-_UNROLL = 8
 
-
-def _kernel_copies(chunk, n_feat, n_copies, last_step, *refs):
-    idx_ref = refs[0]
-    val_refs = refs[1:1 + 2 * n_feat]
-    out_ref = refs[1 + 2 * n_feat]
-    acc_ref = refs[-1]   # scratch [n_copies, rows+2, F]
-
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    n_rows = out_ref.shape[0]
-
-    def body(i, c):
-        base = i * _UNROLL
-        for u in range(_UNROLL):
-            m = base + u
-            cp = u % n_copies
-            j = jnp.clip(idx_ref[m], 0, n_rows - 2)
-            upd = jnp.array(
-                [[val_refs[f][m] for f in range(n_feat)],
-                 [val_refs[n_feat + f][m] for f in range(n_feat)]])
-            cur = acc_ref[cp, pl.ds(j, 2), :]
-            acc_ref[cp, pl.ds(j, 2), :] = cur + upd
-        return c
-
-    jax.lax.fori_loop(0, chunk // _UNROLL, body, 0)
-
-    @pl.when(pl.program_id(0) == last_step)
-    def _():
-        out_ref[:] = jnp.sum(acc_ref[:], axis=0)
-
-
-def pair_scatter_copies(idx, val_streams, n_rows, n_copies):
-    m = idx.shape[0]
-    f = len(val_streams) // 2
-    m_pad = -(-m // _CHUNK) * _CHUNK
-    if m_pad != m:
-        idx = jnp.concatenate([idx, jnp.full((m_pad - m,), n_rows, jnp.int32)])
-        val_streams = [jnp.concatenate([v, jnp.zeros((m_pad - m,), v.dtype)])
-                       for v in val_streams]
-    steps = m_pad // _CHUNK
-    out = pl.pallas_call(
-        partial(_kernel_copies, _CHUNK, f, n_copies, steps - 1),
-        grid=(steps,),
-        in_specs=[pl.BlockSpec((_CHUNK,), lambda i: (i,),
-                               memory_space=pltpu.SMEM)] * (1 + 2 * f),
-        out_specs=pl.BlockSpec((n_rows + 2, f), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_rows + 2, f), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((n_copies, n_rows + 2, f), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
-    )(idx.astype(jnp.int32), *[v.astype(jnp.float32) for v in val_streams])
-    return out[:n_rows]
-
-
-def _kernel_writeonly(chunk, n_feat, *refs):
+def _kernel_tuned(chunk, unroll, n_feat, *refs):
+    """Like the shipped kernel but parameterized (chunk, unroll)."""
     idx_ref = refs[0]
     val_refs = refs[1:1 + 2 * n_feat]
     out_ref = refs[-1]
@@ -97,74 +35,118 @@ def _kernel_writeonly(chunk, n_feat, *refs):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    n_rows = out_ref.shape[0]
-
     def body(i, c):
-        base = i * _UNROLL
-        for u in range(_UNROLL):
+        base = i * unroll
+        for u in range(unroll):
             m = base + u
-            j = jnp.clip(idx_ref[m], 0, n_rows - 2)
+            j = idx_ref[m]
             upd = jnp.array(
                 [[val_refs[f][m] for f in range(n_feat)],
                  [val_refs[n_feat + f][m] for f in range(n_feat)]])
-            out_ref[pl.ds(j, 2), :] = upd
+            cur = out_ref[pl.ds(j, 2), :]
+            out_ref[pl.ds(j, 2), :] = cur + upd
         return c
 
-    jax.lax.fori_loop(0, chunk // _UNROLL, body, 0)
+    jax.lax.fori_loop(0, chunk // unroll, body, 0)
 
 
-def pair_scatter_writeonly(idx, val_streams, n_rows):
+def _kernel_packed_bf16(chunk, unroll, *refs):
+    """F=2 only: values arrive as TWO int32 streams, each packing the
+    (f0, f1) bf16 pair for one z-row. 2 SMEM loads + 2 bitcasts instead
+    of 4 loads per update."""
+    idx_ref, pk0_ref, pk1_ref, out_ref = refs
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    def body(i, c):
+        base = i * unroll
+        for u in range(unroll):
+            m = base + u
+            j = idx_ref[m]
+            w0 = pk0_ref[m]
+            w1 = pk1_ref[m]
+            pair = jnp.array([[w0], [w1]])                      # [2,1] i32
+            both = jax.lax.bitcast_convert_type(
+                pair, jnp.bfloat16)                              # [2,1,2]
+            upd = both.reshape(2, 2).astype(jnp.float32)
+            cur = out_ref[pl.ds(j, 2), :]
+            out_ref[pl.ds(j, 2), :] = cur + upd
+        return c
+
+    jax.lax.fori_loop(0, chunk // unroll, body, 0)
+
+
+def _run(kernel, nin, chunk, idx, streams, n_rows):
     m = idx.shape[0]
-    f = len(val_streams) // 2
     return pl.pallas_call(
-        partial(_kernel_writeonly, _CHUNK, f),
-        grid=(m // _CHUNK,),
-        in_specs=[pl.BlockSpec((_CHUNK,), lambda i: (i,),
-                               memory_space=pltpu.SMEM)] * (1 + 2 * f),
-        out_specs=pl.BlockSpec((n_rows + 2, f), lambda i: (0, 0),
+        kernel,
+        grid=(m // chunk,),
+        in_specs=[pl.BlockSpec((chunk,), lambda i: (i,),
+                               memory_space=pltpu.SMEM)] * nin,
+        out_specs=pl.BlockSpec((n_rows + 2, 2), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_rows + 2, f), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_rows + 2, 2), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
-    )(idx.astype(jnp.int32), *[v.astype(jnp.float32) for v in val_streams])
+    )(idx, *streams)
 
 
-def timeit(name, fn, n=10):
+def scatter_tuned(chunk, unroll, idx, vals, n_rows):
+    return _run(partial(_kernel_tuned, chunk, unroll, 2), 5, chunk,
+                idx, [v.astype(jnp.float32) for v in vals], n_rows)
+
+
+def scatter_packed(chunk, unroll, idx, vals, n_rows):
+    v00, v01, v10, v11 = [v.astype(jnp.bfloat16) for v in vals]
+    pk0 = jax.lax.bitcast_convert_type(
+        jnp.stack([v00, v01], -1), jnp.int32)
+    pk1 = jax.lax.bitcast_convert_type(
+        jnp.stack([v10, v11], -1), jnp.int32)
+    return _run(partial(_kernel_packed_bf16, chunk, unroll), 3, chunk,
+                idx, [pk0, pk1], n_rows)
+
+
+def timeit(fn, n=10):
     out = fn()
     float(jnp.sum(out))
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn()
     float(jnp.sum(out))
-    dt = (time.perf_counter() - t0) / n
-    return dt
+    return (time.perf_counter() - t0) / n
 
 
 def main():
     key = jax.random.PRNGKey(0)
     n_rows = 64 * 1024
-    m = 6_340_608  # 99072 pts x 16 levels x 4 corners
-    m = -(-m // _CHUNK) * _CHUNK
+    m = -(-6_340_608 // 16384) * 16384
     idx = jax.random.randint(key, (m,), 0, n_rows - 2)
     streams = tuple(jax.random.normal(jax.random.PRNGKey(i), (m,))
                     for i in range(4))
 
-    ref = None
     base = jax.jit(lambda: pair_scatter(idx, streams, n_rows))
-    dt = timeit("base", base)
+    dt = timeit(base)
     ref = base()
-    print(f"base: {dt*1e3:.1f} ms = {m/dt/1e6:.0f}M upd/s")
+    print(f"shipped: {dt*1e3:.1f} ms = {m/dt/1e6:.0f}M upd/s", flush=True)
 
-    for c in (2, 4, 8):
-        fn = jax.jit(partial(pair_scatter_copies, idx, streams, n_rows, c))
-        dt = timeit(f"copies{c}", fn)
-        err = float(jnp.max(jnp.abs(fn() - ref)))
-        print(f"copies={c}: {dt*1e3:.1f} ms = {m/dt/1e6:.0f}M upd/s "
-              f"(max err vs base {err:.2e})")
+    for chunk, unroll in ((8192, 8), (8192, 16), (16384, 8), (16384, 16),
+                          (16384, 32)):
+        fn = jax.jit(partial(scatter_tuned, chunk, unroll, idx, streams,
+                             n_rows))
+        dt = timeit(fn)
+        err = float(jnp.max(jnp.abs(fn()[:n_rows] - ref)))
+        print(f"tuned c={chunk} u={unroll}: {dt*1e3:.1f} ms = "
+              f"{m/dt/1e6:.0f}M upd/s (err {err:.2e})", flush=True)
 
-    fn = jax.jit(lambda: pair_scatter_writeonly(idx, streams, n_rows))
-    dt = timeit("writeonly", fn)
-    print(f"writeonly: {dt*1e3:.1f} ms = {m/dt/1e6:.0f}M upd/s (issue ceiling)")
+    for chunk, unroll in ((8192, 8), (16384, 16)):
+        fn = jax.jit(partial(scatter_packed, chunk, unroll, idx, streams,
+                             n_rows))
+        dt = timeit(fn)
+        err = float(jnp.max(jnp.abs(fn()[:n_rows] - ref)))
+        print(f"packed-bf16 c={chunk} u={unroll}: {dt*1e3:.1f} ms = "
+              f"{m/dt/1e6:.0f}M upd/s (err vs f32 {err:.2e})", flush=True)
 
 
 if __name__ == "__main__":

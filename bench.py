@@ -123,25 +123,26 @@ def main():
                             ba_rays[:, 3:6], ba_rays[:, 6:7])
         return LL.total_loss(ret, tr)
 
-    fwd_ms = time_fn(lambda: jax.jit(fwd_loss)(params, key), n_warmup=2)
-    grad_ms = time_fn(lambda: jax.jit(jax.grad(fwd_loss))(params, key),
-                      n_warmup=2)
-    smooth_ms = time_fn(lambda: jax.jit(jax.grad(
+    fwd_j = jax.jit(fwd_loss)
+    grad_j = jax.jit(jax.grad(fwd_loss))
+    smooth_j = jax.jit(jax.grad(
         lambda mp, k: model.smoothness(mp, k, tr["smooth_pts"],
                                        tr["smooth_vox"],
-                                       tr["smooth_margin"])))(params, key),
-        n_warmup=2)
+                                       tr["smooth_margin"])))
+    fwd_ms = time_fn(lambda: fwd_j(params, key), n_warmup=2)
+    grad_ms = time_fn(lambda: grad_j(params, key), n_warmup=2)
+    smooth_ms = time_fn(lambda: smooth_j(params, key), n_warmup=2)
 
     n_pts = n_ba_rays * (tr["n_samples_d"] + tr["n_range_d"])
     xpts = jax.random.uniform(key, (n_pts, 3))
     gout = jax.random.normal(key, (n_pts, model.input_ch))
     gp = params["grid"]
     enc = model._grid_apply
-    enc_fwd_ms = time_fn(lambda: jax.jit(
-        lambda: jnp.sum(enc(gp, xpts)))(), n_warmup=2)
-    enc_dtable_ms = time_fn(lambda: jax.jit(
-        lambda: jnp.sum(jax.grad(
-            lambda t: jnp.sum(enc(t, xpts) * gout))(gp)))(), n_warmup=2)
+    enc_fwd_j = jax.jit(lambda t, x: jnp.sum(enc(t, x)))
+    enc_dtable_j = jax.jit(lambda t, x, g: jnp.sum(jax.grad(
+        lambda tt: jnp.sum(enc(tt, x) * g))(t)))
+    enc_fwd_ms = time_fn(lambda: enc_fwd_j(gp, xpts), n_warmup=2)
+    enc_dtable_ms = time_fn(lambda: enc_dtable_j(gp, xpts, gout), n_warmup=2)
 
     # -- table-gradient implementation head-to-head (full BA cycle) -------
     ba_variant_ms = {}

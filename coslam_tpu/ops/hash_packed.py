@@ -293,7 +293,7 @@ def _pair_scatter_kernel(chunk: int, n_feat: int, *refs):
         base = i * _UNROLL
         for u in range(_UNROLL):
             m = base + u
-            j = jnp.clip(idx_ref[m], 0, n_rows - 2)
+            j = idx_ref[m]  # pre-clipped in XLA by pair_scatter
             upd = jnp.array(
                 [[val_refs[f][m] for f in range(n_feat)],
                  [val_refs[n_feat + f][m] for f in range(n_feat)]],
@@ -314,6 +314,9 @@ def pair_scatter(idx: jnp.ndarray, val_streams, n_rows: int,
     m = idx.shape[0]
     f = len(val_streams) // 2
     m_pad = -(-m // _CHUNK) * _CHUNK
+    # Clip HERE (one vectorized XLA op) so the serial kernel loop issues
+    # no per-update clamp; the slack row n_rows absorbs out-of-range.
+    idx = jnp.clip(idx, 0, n_rows)
     if m_pad != m:
         idx = jnp.concatenate([idx, jnp.full((m_pad - m,), n_rows, jnp.int32)])
         val_streams = [jnp.concatenate([v, jnp.zeros((m_pad - m,), v.dtype)])

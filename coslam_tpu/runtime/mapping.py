@@ -225,8 +225,17 @@ def make_ba_step(model, config: Dict, map_tx, max_kf: int, rays_per_kf: int,
 
         def loss_fn(pp, mp, ray_data, ray_ids, ray_mask, k):
             poses_all = build_poses(pp)
-            Rm = poses_all[ray_ids, :3, :3]               # [N,3,3]
-            t = poses_all[ray_ids, :3, 3]                 # [N,3]
+            # Gather each ray's pose via a one-hot matmul rather than
+            # indexing: XLA lowers the transpose of poses_all[ray_ids]
+            # to a SERIAL per-ray scatter-add while-loop (~20 ms/iter on
+            # TPU); the one-hot form makes both directions tiny MXU
+            # matmuls ([N, max_kf+1] @ [max_kf+1, 12], ~20 MFLOP).
+            onehot = (ray_ids[:, None] ==
+                      jnp.arange(max_kf + 1)[None, :]).astype(poses_all.dtype)
+            pose_rows = onehot @ poses_all[:, :3, :].reshape(max_kf + 1, 12)
+            pose_rows = pose_rows.reshape(-1, 3, 4)
+            Rm = pose_rows[:, :, :3]                      # [N,3,3]
+            t = pose_rows[:, :, 3]                        # [N,3]
             dirs = ray_data[:, :3]
             rays_d = jnp.einsum("nij,nj->ni", Rm, dirs)
             k1, k2 = jax.random.split(k)
