@@ -427,6 +427,21 @@ def make_encoder(encoding: str, input_dim: int = 3, degree: int = 4,
                 _grid_apply_fn(spec, grad_impl),
                 spec.out_dim, spec)
 
+    if "plane" in name:  # TriPlane — TPU-first factorized-plane encoding
+        from . import triplane as TP
+
+        spec = TP.make_triplane_spec(desired_resolution,
+                                     n_levels=min(n_levels, 4),
+                                     n_features=level_dim)
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        if on_tpu:
+            tenc = TP.make_triplane_encode(spec, jnp.bfloat16)
+            apply_fn = lambda p, x: tenc(p, x)
+        else:
+            apply_fn = lambda p, x: TP.triplane_encode_fwd_only(spec, p, x)
+        return (lambda key: TP.init_triplane(key, spec),
+                apply_fn, spec.out_dim, spec)
+
     if "spherical" in name:
         return (lambda key: None,
                 lambda p, x: sh_encode(x, degree),

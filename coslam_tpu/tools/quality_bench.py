@@ -27,6 +27,11 @@ def main(argv=None):
                    help="the reference's dagger protocol: double tracking "
                         "iterations + best-pose selection (configs/"
                         "Tum_dagger vs configs/Tum: iter 10->20, best on)")
+    p.add_argument("--culling", default="coslam",
+                   choices=["frustum", "frustum_occlusion", "coslam"],
+                   help="mesh culling strategy; 'coslam' (default) is the "
+                        "reference protocol: frustum + occlusion + virtual "
+                        "cameras (evaluation/README.md)")
     args = p.parse_args(argv)
 
     import jax
@@ -76,7 +81,8 @@ def main(argv=None):
 
     print("running SLAM...", flush=True)
     res = run_benchmark(cfg, gt_mesh_path=gt_path,
-                        culling="frustum_occlusion", n_eval_views=50)
+                        culling=args.culling, n_eval_views=50)
+    res["culling"] = args.culling
     res["n_frames"] = args.frames
     res["resolution"] = f"{H}x{W}"
     res["dagger"] = bool(args.dagger)
