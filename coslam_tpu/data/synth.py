@@ -240,6 +240,18 @@ def write_replica_format(datadir: str, scene: AnalyticScene,
     os.makedirs(results, exist_ok=True)
     lines = []
     for i, c2w in enumerate(poses):
+        rgb_path = os.path.join(results, f"frame{i:06d}.jpg")
+        if (os.path.exists(rgb_path) and os.path.exists(
+                os.path.join(results, f"depth{i:06d}.png"))):
+            # Resumable rendering: long sequences are expensive to
+            # re-render; existing frames are deterministic (same scene,
+            # pose, intrinsics), so keep them and only fill gaps.
+            file_pose = np.array(c2w, np.float64)
+            file_pose[:3, 1] *= -1
+            file_pose[:3, 2] *= -1
+            lines.append(" ".join(f"{v:.10f}"
+                                  for v in file_pose.reshape(-1)))
+            continue
         rgb, depth = render_frame(scene, c2w, H, W, fx, fy, cx, cy)
         bgr = cv2.cvtColor((rgb * 255).astype(np.uint8), cv2.COLOR_RGB2BGR)
         cv2.imwrite(os.path.join(results, f"frame{i:06d}.jpg"), bgr,

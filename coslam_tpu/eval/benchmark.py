@@ -60,6 +60,24 @@ def run_benchmark(config: Dict, gt_mesh_path: Optional[str] = None,
         poses = [slam.est_c2w[i] for i in range(len(slam.est_c2w))]
         culled = rec_mesh.replace(".ply", "_culled.ply")
         bounds = np.array(config["mapping"]["marching_cubes_bound"])
+        if culling == "coslam":
+            # The Co-SLAM protocol needs <datadir>/virtual_cameras; the
+            # reference creates them interactively from the GT mesh
+            # (evaluation/create_virtual_cameras_replica.py) — generate
+            # them headlessly here when absent.
+            import glob as _glob
+
+            from ..mesh.io import load_ply
+            from ..tools.virtual_cameras import create_virtual_cameras
+
+            vdir = os.path.join(config["data"]["datadir"],
+                                "virtual_cameras")
+            if not _glob.glob(os.path.join(vdir, "*.txt")):
+                cam = config["cam"]
+                create_virtual_cameras(
+                    load_ply(gt_mesh_path), poses, vdir,
+                    cam["fx"], cam["fy"], cam["cx"], cam["cy"],
+                    cam["H"], cam["W"], n_candidates=64, n_select=16)
         cull_one_mesh(config, poses, rec_mesh, culled,
                       save_unseen=True,
                       remove_occlusion=(culling != "frustum"),

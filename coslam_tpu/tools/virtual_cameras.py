@@ -68,21 +68,22 @@ def create_virtual_cameras(gt_mesh: TriMesh, traj_poses: List[np.ndarray],
         c2w[:3, 2] *= -1
         candidates.append(c2w)
 
+    # Precompute each candidate's coverage mask once (one depth render
+    # per candidate); the greedy loop is then pure boolean algebra
+    # instead of n_select * n_candidates re-renders.
+    cov = np.stack([_coverage(gt_mesh, surf, [c2w], fx, fy, cx, cy, H, W)
+                    for c2w in candidates]) if candidates else \
+        np.zeros((0, len(surf)), bool)
+
     chosen = []
     unseen = ~seen
     for _ in range(n_select):
-        if unseen.sum() == 0:
+        gains = (cov & unseen).sum(axis=1)
+        i = int(gains.argmax()) if len(gains) else 0
+        if len(gains) == 0 or gains[i] == 0:
             break
-        best, best_gain, best_cov = None, 0, None
-        for c2w in candidates:
-            cov = _coverage(gt_mesh, surf[unseen], [c2w], fx, fy, cx, cy, H, W)
-            if cov.sum() > best_gain:
-                best, best_gain, best_cov = c2w, cov.sum(), cov
-        if best is None or best_gain == 0:
-            break
-        chosen.append(best)
-        idx = np.where(unseen)[0]
-        unseen[idx[best_cov]] = False
+        chosen.append(candidates[i])
+        unseen &= ~cov[i]
 
     os.makedirs(out_dir, exist_ok=True)
     for i, c2w in enumerate(chosen):

@@ -53,3 +53,36 @@ def test_benchmark_protocol(tmp_path):
     assert np.isfinite(res["depth_l1_cm"])
     assert res["n_params"] > 1000
     assert "tracking_ms" in res and "mapping_ms" in res
+
+
+def test_virtual_camera_generation(tmp_path):
+    """create_virtual_cameras: headless greedy coverage writes {i}.txt
+    poses that add coverage beyond a deliberately-limited trajectory."""
+    from coslam_tpu.tools.virtual_cameras import (_coverage,
+                                                  create_virtual_cameras)
+
+    scene = AnalyticScene()
+    gt_path = str(tmp_path / "gt.ply")
+    mesh = analytic_gt_mesh(scene, gt_path, n=64)
+
+    # One camera in a corner: most of the room is unseen.
+    c2w = np.eye(4)
+    c2w[:3, 3] = [1.5, 1.5, 0.0]
+    out_dir = str(tmp_path / "virtual_cameras")
+    chosen = create_virtual_cameras(mesh, [c2w], out_dir,
+                                    fx=60, fy=60, cx=29, cy=22, H=44, W=58,
+                                    n_candidates=24, n_select=6)
+    assert len(chosen) >= 1
+    files = sorted(os.listdir(out_dir))
+    assert files and all(f.endswith(".txt") for f in files)
+    # Each written pose is a valid 4x4 rigid transform.
+    p = np.loadtxt(os.path.join(out_dir, files[0])).reshape(4, 4)
+    np.testing.assert_allclose(p[3], [0, 0, 0, 1], atol=1e-8)
+    R = p[:3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+
+    rng = np.random.default_rng(0)
+    surf = mesh.sample_surface(4000, rng)
+    base = _coverage(mesh, surf, [c2w], 60, 60, 29, 22, 44, 58)
+    full = _coverage(mesh, surf, [c2w] + chosen, 60, 60, 29, 22, 44, 58)
+    assert full.sum() > base.sum()

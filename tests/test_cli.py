@@ -81,3 +81,21 @@ def test_cli_recon_eval(scene_cfg, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     res = json.loads(r.stdout[r.stdout.index("{"):])
     assert res["comp ratio"] > 95.0
+
+
+def test_export_roundtrip(tmp_path):
+    """jax.export serialization of the full query path (the reference's
+    ONNX-export smoke equivalent, model/decoder.py:182-226)."""
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "model.stablehlo")
+    r = subprocess.run(
+        [sys.executable, "-m", "coslam_tpu.tools.export",
+         "--config", "configs/Tum/fr1_desk.yaml", "--out", out,
+         "--batch", "256", "--platform", "cpu"],
+        capture_output=True, text=True, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "finite=True" in r.stdout
+    import os
+    assert os.path.getsize(out) > 1000
