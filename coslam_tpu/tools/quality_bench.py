@@ -27,6 +27,13 @@ def main(argv=None):
                    help="the reference's dagger protocol: double tracking "
                         "iterations + best-pose selection (configs/"
                         "Tum_dagger vs configs/Tum: iter 10->20, best on)")
+    p.add_argument("--enc", default=None,
+                   help="override grid.enc (e.g. TriPlane) to validate "
+                        "alternative parametric encodings end-to-end")
+    p.add_argument("--samples_d", type=int, default=None,
+                   help="override training.n_samples_d (uniform stratum "
+                        "points/ray) to validate TPU-tuned operating "
+                        "points like configs/Replica/room0_tpu.yaml")
     p.add_argument("--culling", default="coslam",
                    choices=["frustum", "frustum_occlusion", "coslam"],
                    help="mesh culling strategy; 'coslam' (default) is the "
@@ -62,6 +69,10 @@ def main(argv=None):
     if args.dagger:
         cfg["tracking"]["iter"] *= 2
         cfg["tracking"]["best"] = True
+    if args.samples_d is not None:
+        cfg["training"]["n_samples_d"] = args.samples_d
+    if args.enc is not None:
+        cfg["grid"]["enc"] = args.enc
 
     scene = AnalyticScene()
     poses = make_scan_trajectory(args.frames)
@@ -86,6 +97,8 @@ def main(argv=None):
     res["n_frames"] = args.frames
     res["resolution"] = f"{H}x{W}"
     res["dagger"] = bool(args.dagger)
+    res["n_samples_d"] = cfg["training"]["n_samples_d"]
+    res["enc"] = cfg["grid"]["enc"]
     res["device"] = str(jax.devices()[0])
     print(json.dumps(res, indent=2))
     if args.out:
