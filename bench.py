@@ -165,6 +165,31 @@ def main():
         except Exception as e:  # variant may not compile on this backend
             ba_variant_ms[impl] = f"error: {type(e).__name__}"
 
+    # -- TPU-native encodings at the same protocol sizes ------------------
+    # TriPlaneHybrid is the framework's flagship operating point
+    # (reference-class quality, BENCH_QUALITY.md); pure TriPlane is the
+    # speed ceiling (weaker rendered-depth fidelity).
+    alt_enc = {}
+    for enc_name in ("TriPlaneHybrid", "TriPlane"):
+        try:
+            tcfg = copy.deepcopy(cfg)
+            tcfg["grid"]["enc"] = enc_name
+            tmodel = JointEncoding(tcfg, bb)
+            tparams = tmodel.init_params(jax.random.PRNGKey(0))
+            topt = map_tx.init(tparams)
+            ttrack = make_tracking_step(tmodel, tcfg)
+            tba = make_ba_step(tmodel, tcfg, map_tx, num_kf, rays_per_kf,
+                               rays_per_kf, maxcur=256)
+            alt_enc[enc_name] = (
+                time_fn(lambda: ttrack(tparams, c2w_init, track_rays,
+                                       key)[1]),
+                time_fn(lambda: tba(tparams, topt, kf_rays, kf_count,
+                                    kf_poses, cur_pose, cur_rays, key)[4],
+                        n_warmup=1, n_iter=5))
+        except Exception:  # pragma: no cover - optional path
+            alt_enc[enc_name] = (float("nan"), float("nan"))
+    tri_track_ms, tri_ba_ms = alt_enc["TriPlaneHybrid"]
+
     tracking_fps = 1000.0 / track_ms
     mapping_fps = 1000.0 / ba_ms
     # System throughput: track every frame + map every 5th frame.
@@ -189,6 +214,16 @@ def main():
             "encode_fwd_dtable": round(enc_dtable_ms, 2),
         },
         "ba_cycle_by_grad_impl_ms": ba_variant_ms,
+        "hybrid_tracking_ms": round(tri_track_ms, 2),
+        "hybrid_tracking_fps_vs_baseline": round(
+            1000.0 / tri_track_ms / 17.24, 3),
+        "hybrid_mapping_ms": round(tri_ba_ms, 2),
+        "hybrid_mapping_fps_vs_baseline": round(
+            1000.0 / tri_ba_ms / 10.20, 3),
+        "hybrid_system_fps": round(1000.0 / (
+            tri_track_ms + tri_ba_ms / cfg["mapping"]["map_every"]), 2),
+        "triplane_tracking_ms": round(alt_enc["TriPlane"][0], 2),
+        "triplane_mapping_ms": round(alt_enc["TriPlane"][1], 2),
         "n_params": int(n_params),
         "device": str(jax.devices()[0]),
     }))

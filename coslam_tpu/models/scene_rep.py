@@ -55,11 +55,19 @@ class JointEncoding:
         # Sparse parametric encoding (SDF grid). grad_impl selects the
         # table-gradient path ('onehot' = MXU matmul, default on TPU).
         grad_impl = config["grid"].get("grad_impl", "auto")
+        grid_kw = {}
+        if "plane" in str(config["grid"]["enc"]).lower():
+            # TriPlane capacity knobs (no reference counterpart):
+            # pyramid depth and features/level.
+            grid_kw["n_levels"] = int(
+                config["grid"].get("triplane_levels", 4))
+            grid_kw["level_dim"] = int(
+                config["grid"].get("triplane_features", 2))
         (self._grid_init, self._grid_apply, self.input_ch, self.grid_spec
          ) = enc.make_encoder(config["grid"]["enc"],
                               log2_hashmap_size=config["grid"]["hash_size"],
                               desired_resolution=self.resolution_sdf,
-                              grad_impl=grad_impl)
+                              grad_impl=grad_impl, **grid_kw)
 
         self.one_grid = bool(config["grid"]["oneGrid"])
         if not self.one_grid:

@@ -427,11 +427,48 @@ def make_encoder(encoding: str, input_dim: int = 3, degree: int = 4,
                 _grid_apply_fn(spec, grad_impl),
                 spec.out_dim, spec)
 
+    if "hybrid" in name:  # TriPlaneHybrid: dense-3D coarse + plane fine
+        # Additive tri-planes alone suffer projection ambiguity (a
+        # feature at (x,y) affects every z along that column), which
+        # shows up as phantom geometry/bumps in rendered depth. A small
+        # TRUE-3D dense pyramid at coarse scale disambiguates while the
+        # planes carry fine detail — still ~2x fewer serial gather/
+        # scatter issues per point than the hash grid.
+        from . import hash_packed as HP
+        from . import triplane as TP
+
+        dspec = HP.make_packed_spec(
+            min(desired_resolution, 48), log2_hashmap_size,
+            n_levels=3, n_features=level_dim, base_resolution=16,
+            dense_only=True)
+        pspec = TP.make_triplane_spec(desired_resolution,
+                                      n_levels=min(n_levels, 8),
+                                      n_features=level_dim)
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        if on_tpu:
+            denc = HP.make_packed_encode(dspec, jnp.bfloat16)
+            penc = TP.make_triplane_encode(pspec, jnp.bfloat16)
+        else:
+            denc = lambda p, x: HP.packed_encode_fwd_only(dspec, p, x)
+            penc = lambda p, x: TP.triplane_encode_fwd_only(pspec, p, x)
+
+        def hybrid_apply(p, x):
+            return jnp.concatenate([denc(p["dense"], x),
+                                    penc(p["planes"], x)], axis=-1)
+
+        def hybrid_init(key):
+            k1, k2 = jax.random.split(key)
+            return {"dense": HP.init_packed(k1, dspec),
+                    "planes": TP.init_triplane(k2, pspec)}
+
+        return (hybrid_init, hybrid_apply,
+                dspec.out_dim + pspec.out_dim, (dspec, pspec))
+
     if "plane" in name:  # TriPlane — TPU-first factorized-plane encoding
         from . import triplane as TP
 
         spec = TP.make_triplane_spec(desired_resolution,
-                                     n_levels=min(n_levels, 4),
+                                     n_levels=min(n_levels, 8),
                                      n_features=level_dim)
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
         if on_tpu:

@@ -34,6 +34,10 @@ def main(argv=None):
                    help="override training.n_samples_d (uniform stratum "
                         "points/ray) to validate TPU-tuned operating "
                         "points like configs/Replica/room0_tpu.yaml")
+    p.add_argument("--set", action="append", default=[],
+                   metavar="SECTION.KEY=VALUE",
+                   help="ad-hoc config override, e.g. "
+                        "--set grid.triplane_levels=5 (repeatable)")
     p.add_argument("--culling", default="coslam",
                    choices=["frustum", "frustum_occlusion", "coslam"],
                    help="mesh culling strategy; 'coslam' (default) is the "
@@ -73,6 +77,17 @@ def main(argv=None):
         cfg["training"]["n_samples_d"] = args.samples_d
     if args.enc is not None:
         cfg["grid"]["enc"] = args.enc
+    for kv in args.set:
+        path, _, raw = kv.partition("=")
+        sec, _, key = path.partition(".")
+        try:
+            val = int(raw)
+        except ValueError:
+            try:
+                val = float(raw)
+            except ValueError:
+                val = raw
+        cfg.setdefault(sec, {})[key] = val
 
     scene = AnalyticScene()
     poses = make_scan_trajectory(args.frames)

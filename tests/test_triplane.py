@@ -97,3 +97,28 @@ def test_joint_encoding_integration(tmp_path):
     assert raw.shape == (64, 4)
     sdf = model.query_sdf(params, x)
     assert np.all(np.isfinite(np.asarray(sdf)))
+
+
+def test_hybrid_encoding_integration(tmp_path):
+    """TriPlaneHybrid: dense-3D coarse pyramid + plane fine levels."""
+    from coslam_tpu.data.synth import make_synthetic_config
+    from coslam_tpu.models.scene_rep import JointEncoding
+
+    cfg = make_synthetic_config(str(tmp_path / "scene"),
+                                str(tmp_path / "out"), H=40, W=52,
+                                n_frames=4)
+    cfg["grid"]["enc"] = "TriPlaneHybrid"
+    bb = np.array(cfg["mapping"]["bound"], np.float32)
+    model = JointEncoding(cfg, bb)
+    params = model.init_params(jax.random.PRNGKey(0))
+    assert set(params["grid"].keys()) == {"dense", "planes"}
+    # 3 dense levels + 4 plane levels, 2 features each.
+    assert model.input_ch == 14
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+    raw = model.query_color_sdf(params, x)
+    assert raw.shape == (64, 4)
+    g = jax.grad(lambda p: float(0) + jnp.sum(
+        model.query_color_sdf(p, x) ** 2))(params)
+    leaves = jax.tree_util.tree_leaves(g["grid"])
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
