@@ -136,11 +136,18 @@ class JointEncoding:
         rgb = jax.nn.sigmoid(self.query_color_sdf(params, flat)[..., :3])
         return rgb.reshape(x.shape[:-1] + (3,))
 
-    def run_network(self, params: Dict, pts: jnp.ndarray) -> jnp.ndarray:
+    def run_network(self, params: Dict, pts: jnp.ndarray,
+                    extra_norm: Optional[jnp.ndarray] = None):
         """Metric points [N_rays, N_samples, 3] -> raw [N_rays, N_samples, 4].
 
         Normalizes to the unit cube first (reference
         model/scene_rep.py:173-191). No host-side chunking: XLA tiles it.
+
+        extra_norm: optional [G, 3] already-normalized points appended to
+        the SDF-grid encode batch (one gather pass + ONE backward scatter
+        kernel set instead of two); their embeddings are returned as a
+        second output and they never touch the decoders. Used to fuse the
+        BA smoothness-grid query into the main forward.
 
         When self.remat is set (mapping megasteps under a LEGACY
         grad_impl), the query is rematerialized (jax.checkpoint): the
@@ -152,6 +159,20 @@ class JointEncoding:
         """
         flat = pts.reshape(-1, 3)
         flat = self.normalize_coords(flat)
+        if extra_norm is not None:
+            n_ray = flat.shape[0]
+            embed_all = self._grid_apply(params["grid"],
+                                         jnp.concatenate([flat, extra_norm]))
+            embed, extra_emb = embed_all[:n_ray], embed_all[n_ray:]
+            embed_pos = self._pos_apply(None, flat)
+            if not self.one_grid:
+                embed_color = self._cgrid_apply(params["grid_color"], flat)
+                raw = self.decoder(params["decoder"], embed, embed_pos,
+                                   embed_color)
+            else:
+                raw = self.decoder(params["decoder"], embed, embed_pos)
+            return (raw.reshape(pts.shape[:-1] + (raw.shape[-1],)),
+                    extra_emb)
         if getattr(self, "remat", True) and self.needs_remat:
             raw = jax.checkpoint(self.query_color_sdf)(params, flat)
         else:
@@ -176,8 +197,8 @@ class JointEncoding:
         return rgb
 
     def render_rays(self, params: Dict, key, rays_o: jnp.ndarray,
-                    rays_d: jnp.ndarray, target_d: Optional[jnp.ndarray] = None
-                    ) -> Dict:
+                    rays_d: jnp.ndarray, target_d: Optional[jnp.ndarray] = None,
+                    extra_norm: Optional[jnp.ndarray] = None) -> Dict:
         """Volume render a batch of rays (reference model/scene_rep.py:211-295).
 
         rays_o/rays_d: [N, 3]; target_d: [N, 1] or None. Returns the same
@@ -197,12 +218,19 @@ class JointEncoding:
             perturb=tr["perturb"] > 0)
 
         pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
-        raw = self.run_network(params, pts)
+        extra_emb = None
+        if extra_norm is not None:
+            raw, extra_emb = self.run_network(params, pts,
+                                              extra_norm=extra_norm)
+        else:
+            raw = self.run_network(params, pts)
         rgb_map, disp_map, acc_map, weights, depth_map, depth_var = R.raw2outputs(
             raw, z_vals, tr["trunc"], self.config["data"]["sc_factor"],
             tr["white_bkgd"])
 
         ret = {}
+        if extra_emb is not None:
+            ret["extra_emb"] = extra_emb
         if tr["n_importance"] > 0:
             ret.update(rgb0=rgb_map, disp0=disp_map, acc0=acc_map,
                        depth0=depth_map, depth_var0=depth_var)
@@ -225,15 +253,19 @@ class JointEncoding:
 
     def forward(self, params: Dict, key, rays_o: jnp.ndarray,
                 rays_d: jnp.ndarray, target_rgb: jnp.ndarray,
-                target_d: jnp.ndarray, ray_mask: Optional[jnp.ndarray] = None
-                ) -> Dict:
+                target_d: jnp.ndarray, ray_mask: Optional[jnp.ndarray] = None,
+                smooth_pts_norm: Optional[jnp.ndarray] = None) -> Dict:
         """Render + per-term losses (reference model/scene_rep.py:297-351).
 
         ray_mask: optional [N] validity mask for padded fixed-shape
         batches; masked rays contribute to no loss term.
+        smooth_pts_norm: optional [G, 3] normalized smoothness-grid
+        points fused into the SDF-grid encode (see run_network); their
+        embeddings come back as ret['smooth_emb'].
         """
         tr = self.config["training"]
-        rend = self.render_rays(params, key, rays_o, rays_d, target_d=target_d)
+        rend = self.render_rays(params, key, rays_o, rays_d, target_d=target_d,
+                                extra_norm=smooth_pts_norm)
 
         td = target_d[..., 0]
         valid_depth = (td > 0.0) & (td < self.config["cam"]["depth_trunc"])
@@ -264,16 +296,20 @@ class JointEncoding:
             rend["z_vals"], target_d, rend["raw"][..., -1], truncation,
             "l2", ray_mask=rm)
 
-        return {"rgb": rend["rgb"], "depth": rend["depth"],
-                "rgb_loss": rgb_loss, "depth_loss": depth_loss,
-                "sdf_loss": sdf_loss, "fs_loss": fs_loss, "psnr": psnr}
+        out = {"rgb": rend["rgb"], "depth": rend["depth"],
+               "rgb_loss": rgb_loss, "depth_loss": depth_loss,
+               "sdf_loss": sdf_loss, "fs_loss": fs_loss, "psnr": psnr}
+        if "extra_emb" in rend:
+            out["smooth_emb"] = rend["extra_emb"]
+        return out
 
     # -- smoothness regularizer ----------------------------------------------
 
-    def smoothness(self, params: Dict, key, sample_points: int = 256,
-                   voxel_size: float = 0.1, margin: float = 0.05) -> jnp.ndarray:
-        """TV regularizer on hash features over a jittered dense grid
-        (reference coslam.py:251-274)."""
+    def smoothness_points(self, key, sample_points: int = 256,
+                          voxel_size: float = 0.1,
+                          margin: float = 0.05) -> jnp.ndarray:
+        """Jittered dense-grid sample points for the TV regularizer
+        (reference coslam.py:251-263), normalized, flat [(g)^3, 3]."""
         lo = jnp.asarray(self.bounding_box[:, 0])
         hi = jnp.asarray(self.bounding_box[:, 1])
         grid_size = (sample_points - 1) * voxel_size
@@ -286,7 +322,23 @@ class JointEncoding:
         coords = jnp.stack(jnp.meshgrid(ax, ax, ax, indexing="ij"), axis=-1)
         jitter = jax.random.uniform(k2, (1, 1, 1, 3))
         pts = (coords + jitter) * voxel_size + lo + offset
+        return ((pts - lo) / (hi - lo)).reshape(-1, 3)
 
-        pts_norm = (pts - lo) / (hi - lo)
-        emb = self.query_sdf(params, pts_norm, embed=True)
+    def smoothness_from_emb(self, emb: jnp.ndarray,
+                            sample_points: int) -> jnp.ndarray:
+        """TV loss from flat [(g)^3, C] embeddings of smoothness_points."""
+        g = sample_points - 1
+        return L.smoothness_tv(emb.reshape(g, g, g, -1), sample_points)
+
+    def smoothness(self, params: Dict, key, sample_points: int = 256,
+                   voxel_size: float = 0.1, margin: float = 0.05) -> jnp.ndarray:
+        """TV regularizer on hash features over a jittered dense grid
+        (reference coslam.py:251-274). Standalone form; the BA megastep
+        fuses the same computation into the main forward's encode
+        (forward(..., smooth_pts_norm=...))."""
+        pts_norm = self.smoothness_points(key, sample_points, voxel_size,
+                                          margin)
+        emb = self.query_sdf(params, pts_norm.reshape(
+            sample_points - 1, sample_points - 1, sample_points - 1, 3),
+            embed=True)
         return L.smoothness_tv(emb, sample_points)

@@ -437,8 +437,11 @@ def make_encoder(encoding: str, input_dim: int = 3, degree: int = 4,
         from . import hash_packed as HP
         from . import triplane as TP
 
+        # Top dense level capped at 44: 45^3 = 91k rows fits ONE scatter
+        # accumulator pass (48^3 = 117k would trigger the 2x-cost
+        # multi-pass path in hash_packed._scatter_table_grad).
         dspec = HP.make_packed_spec(
-            min(desired_resolution, 48), log2_hashmap_size,
+            min(desired_resolution, 44), log2_hashmap_size,
             n_levels=3, n_features=level_dim, base_resolution=16,
             dense_only=True)
         pspec = TP.make_triplane_spec(desired_resolution,

@@ -239,6 +239,13 @@ def make_ba_step(model, config: Dict, map_tx, max_kf: int, rays_per_kf: int,
             dirs = ray_data[:, :3]
             rays_d = jnp.einsum("nij,nj->ni", Rm, dirs)
             k1, k2 = jax.random.split(k)
+            # NOTE: fusing the smoothness-grid query into the forward's
+            # encode (forward(..., smooth_pts_norm=...)) was measured
+            # SLOWER (577 vs 543 ms/cycle on hybrid): the combined
+            # encode's backward computes dx for the grid points too,
+            # while the separate call lets XLA dead-code-eliminate that
+            # whole chain (grid points don't depend on poses). Keep the
+            # two-call form.
             ret = model.forward(mp, k1, t, rays_d, ray_data[:, 3:6],
                                 ray_data[:, 6:7], ray_mask=ray_mask)
             smooth = model.smoothness(mp, k2, weights["smooth_pts"],
