@@ -47,6 +47,12 @@ def timeit(name, fn, n=10):
 def main():
     here = os.path.dirname(os.path.abspath(__file__))
     cfg = load_config(os.path.join(here, "configs", "Replica", "room0.yaml"))
+    # ENC=TensoVM / TriPlane / TriPlaneHybrid selects the encoding;
+    # SAMPLES_D overrides training.n_samples_d (TPU operating point).
+    if os.environ.get("ENC"):
+        cfg["grid"]["enc"] = os.environ["ENC"]
+    if os.environ.get("SAMPLES_D"):
+        cfg["training"]["n_samples_d"] = int(os.environ["SAMPLES_D"])
     bb = np.array(cfg["mapping"]["bound"], np.float32)
     model = JointEncoding(cfg, bb)
     key = jax.random.PRNGKey(0)
@@ -119,10 +125,13 @@ def main():
     g = jax.random.normal(key, (n_pts, model.input_ch))
     enc = model._grid_apply
     gp = params["grid"]
+    def tree_sum(t):
+        return sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(t))
+
     timeit(f"encode_fwd_{n_pts}", jax.jit(
         lambda: jnp.sum(enc(gp, x))))
     timeit(f"encode_fwd_dtable_{n_pts}", jax.jit(
-        lambda: jnp.sum(jax.grad(
+        lambda: tree_sum(jax.grad(
             lambda t: jnp.sum(enc(t, x) * g))(gp))))
     timeit(f"encode_fwd_dx_{n_pts}", jax.jit(
         lambda: jnp.sum(jax.grad(

@@ -166,11 +166,14 @@ def main():
             ba_variant_ms[impl] = f"error: {type(e).__name__}"
 
     # -- TPU-native encodings at the same protocol sizes ------------------
-    # TriPlaneHybrid is the framework's flagship operating point
-    # (reference-class quality, BENCH_QUALITY.md); pure TriPlane is the
-    # speed ceiling (weaker rendered-depth fidelity).
+    # TensoVM (planes x line factors, ops/tensovm.py) is the flagship
+    # operating point: the line factors give the hybrid's dense-base
+    # disambiguation at near-pure-TriPlane speed (line eval/grads are
+    # fused two-hot MXU matmuls — zero serial scatter issues). TriPlane
+    # is the raw speed ceiling (weaker rendered-depth fidelity);
+    # TriPlaneHybrid is the previous flagship, kept for comparison.
     alt_enc = {}
-    for enc_name in ("TriPlaneHybrid", "TriPlane"):
+    for enc_name in ("TensoVM", "TriPlaneHybrid", "TriPlane"):
         try:
             tcfg = copy.deepcopy(cfg)
             tcfg["grid"]["enc"] = enc_name
@@ -188,6 +191,7 @@ def main():
                         n_warmup=1, n_iter=5))
         except Exception:  # pragma: no cover - optional path
             alt_enc[enc_name] = (float("nan"), float("nan"))
+    vm_track_ms, vm_ba_ms = alt_enc["TensoVM"]
     tri_track_ms, tri_ba_ms = alt_enc["TriPlaneHybrid"]
 
     tracking_fps = 1000.0 / track_ms
@@ -214,6 +218,14 @@ def main():
             "encode_fwd_dtable": round(enc_dtable_ms, 2),
         },
         "ba_cycle_by_grad_impl_ms": ba_variant_ms,
+        "tensovm_tracking_ms": round(vm_track_ms, 2),
+        "tensovm_tracking_fps_vs_baseline": round(
+            1000.0 / vm_track_ms / 17.24, 3),
+        "tensovm_mapping_ms": round(vm_ba_ms, 2),
+        "tensovm_mapping_fps_vs_baseline": round(
+            1000.0 / vm_ba_ms / 10.20, 3),
+        "tensovm_system_fps": round(1000.0 / (
+            vm_track_ms + vm_ba_ms / cfg["mapping"]["map_every"]), 2),
         "hybrid_tracking_ms": round(tri_track_ms, 2),
         "hybrid_tracking_fps_vs_baseline": round(
             1000.0 / tri_track_ms / 17.24, 3),

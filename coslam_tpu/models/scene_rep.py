@@ -56,8 +56,9 @@ class JointEncoding:
         # table-gradient path ('onehot' = MXU matmul, default on TPU).
         grad_impl = config["grid"].get("grad_impl", "auto")
         grid_kw = {}
-        if "plane" in str(config["grid"]["enc"]).lower():
-            # TriPlane capacity knobs (no reference counterpart):
+        enc_name = str(config["grid"]["enc"]).lower()
+        if "plane" in enc_name or "vm" in enc_name:
+            # TriPlane/TensoVM capacity knobs (no reference counterpart):
             # pyramid depth and features/level.
             grid_kw["n_levels"] = int(
                 config["grid"].get("triplane_levels", 4))
@@ -69,6 +70,8 @@ class JointEncoding:
                               desired_resolution=self.resolution_sdf,
                               grad_impl=grad_impl, **grid_kw)
 
+        self._grid_lattice = self._make_lattice_fn(config)
+
         self.one_grid = bool(config["grid"]["oneGrid"])
         if not self.one_grid:
             (self._cgrid_init, self._cgrid_apply, self.input_ch_color,
@@ -79,6 +82,43 @@ class JointEncoding:
                 grad_impl=grad_impl)
         else:
             self.input_ch_color = 0
+
+    def _make_lattice_fn(self, config: Dict):
+        """Separable-lattice encode for the BA smoothness term.
+
+        The smoothness grid (reference coslam.py:251-263) is a regular
+        jittered lattice: for factorized encodings each plane section
+        only needs its g^2 unique projections and each line its g unique
+        coordinates (~g-fold fewer table accesses than pointwise
+        encoding). Returns fn(grid_params, axes [3, g]) -> [g, g, g, C]
+        or None when the encoding has no separable structure (hash)."""
+        name = str(config["grid"]["enc"]).lower()
+        if "vm" in name:
+            from ..ops import tensovm as VM
+            spec = self.grid_spec
+            return lambda p, axes: VM.tensovm_lattice_encode(spec, p, axes)
+        if "hybrid" in name:
+            from ..ops import hash_packed as HP
+            from ..ops import triplane as TP
+            dspec, pspec = self.grid_spec
+            on_tpu = jax.default_backend() not in ("cpu", "gpu")
+            denc = (HP.make_packed_encode(dspec, jnp.bfloat16) if on_tpu
+                    else (lambda p, x: HP.packed_encode_fwd_only(dspec, p, x)))
+
+            def hybrid_lattice(p, axes):
+                g = axes.shape[1]
+                pts = jnp.stack(jnp.meshgrid(axes[0], axes[1], axes[2],
+                                             indexing="ij"), -1).reshape(-1, 3)
+                dense = denc(p["dense"], pts).reshape(g, g, g, -1)
+                planes = TP.triplane_lattice_encode(pspec, p["planes"], axes)
+                return jnp.concatenate([dense, planes], axis=-1)
+
+            return hybrid_lattice
+        if "plane" in name:
+            from ..ops import triplane as TP
+            spec = self.grid_spec
+            return lambda p, axes: TP.triplane_lattice_encode(spec, p, axes)
+        return None
 
     def _build_decoder(self, config: Dict):
         self.decoder = ColorSDFDecoder(
@@ -324,6 +364,25 @@ class JointEncoding:
         pts = (coords + jitter) * voxel_size + lo + offset
         return ((pts - lo) / (hi - lo)).reshape(-1, 3)
 
+    def smoothness_axes(self, key, sample_points: int = 256,
+                        voxel_size: float = 0.1,
+                        margin: float = 0.05) -> jnp.ndarray:
+        """Per-axis coordinates [3, g] of the same jittered lattice
+        smoothness_points builds (identical random draws, so the two
+        paths sample the same grid)."""
+        lo = jnp.asarray(self.bounding_box[:, 0])
+        hi = jnp.asarray(self.bounding_box[:, 1])
+        grid_size = (sample_points - 1) * voxel_size
+        offset_max = hi - lo - grid_size - 2 * margin
+
+        k1, k2 = jax.random.split(key)
+        offset = jax.random.uniform(k1, (3,)) * offset_max + margin
+        g = sample_points - 1
+        ax = jnp.arange(g, dtype=jnp.float32)
+        jitter = jax.random.uniform(k2, (3,))
+        pts = (ax[None, :] + jitter[:, None]) * voxel_size + offset[:, None]
+        return pts / (hi - lo)[:, None]
+
     def smoothness_from_emb(self, emb: jnp.ndarray,
                             sample_points: int) -> jnp.ndarray:
         """TV loss from flat [(g)^3, C] embeddings of smoothness_points."""
@@ -335,7 +394,16 @@ class JointEncoding:
         """TV regularizer on hash features over a jittered dense grid
         (reference coslam.py:251-274). Standalone form; the BA megastep
         fuses the same computation into the main forward's encode
-        (forward(..., smooth_pts_norm=...))."""
+        (forward(..., smooth_pts_norm=...)).
+
+        Factorized encodings (TriPlane/TensoVM/hybrid planes) take the
+        separable-lattice fast path: g^2 unique plane projections and g
+        line coordinates instead of g^3 pointwise encodes."""
+        if self._grid_lattice is not None:
+            axes = self.smoothness_axes(key, sample_points, voxel_size,
+                                        margin)
+            emb = self._grid_lattice(params["grid"], axes)
+            return L.smoothness_tv(emb, sample_points)
         pts_norm = self.smoothness_points(key, sample_points, voxel_size,
                                           margin)
         emb = self.query_sdf(params, pts_norm.reshape(

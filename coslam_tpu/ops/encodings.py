@@ -427,6 +427,25 @@ def make_encoder(encoding: str, input_dim: int = 3, degree: int = 4,
                 _grid_apply_fn(spec, grad_impl),
                 spec.out_dim, spec)
 
+    if "vm" in name:  # TensoVM: planes x line factors (TensoRF-style)
+        # Multiplicative 1-D line factors give the dense base's
+        # disambiguation with ZERO extra serial gather/scatter issues:
+        # line eval + grads are fused two-hot MXU matmuls (tables are
+        # <= r+1 rows). See ops/tensovm.py.
+        from . import tensovm as VM
+
+        spec = VM.make_tensovm_spec(desired_resolution,
+                                    n_levels=min(n_levels, 8),
+                                    n_features=level_dim)
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        if on_tpu:
+            venc = VM.make_tensovm_encode(spec, jnp.bfloat16)
+            apply_fn = lambda p, x: venc(p, x)
+        else:
+            apply_fn = lambda p, x: VM.tensovm_encode_fwd_only(spec, p, x)
+        return (lambda key: VM.init_tensovm(key, spec),
+                apply_fn, spec.out_dim, spec)
+
     if "hybrid" in name:  # TriPlaneHybrid: dense-3D coarse + plane fine
         # Additive tri-planes alone suffer projection ambiguity (a
         # feature at (x,y) affects every z along that column), which

@@ -149,6 +149,71 @@ def _combine(spec: TriPlaneSpec, p0, p1, wu, wv):
     return per_level.transpose(2, 1, 0).reshape(n, -1)         # [N, L*F]
 
 
+def _plane_grid_feats(spec: TriPlaneSpec, table: jnp.ndarray,
+                      axes: jnp.ndarray):
+    """Bilinear plane features on a SEPARABLE lattice.
+
+    axes: [3, g] normalized per-axis coordinates; the lattice is their
+    outer product (meshgrid 'ij'). Each plane section only depends on 2
+    of the 3 axes, so it is evaluated at its g^2 unique projections
+    instead of all g^3 lattice points (~g-fold fewer gathers/scatters —
+    the win that makes the BA smoothness term ~free for factorized
+    encodings). Returns a list over sections of [g_u, g_v, F] features.
+    Pure XLA and autodiffable: at g^2-scale the serial autodiff scatter
+    is negligible.
+    """
+    g = axes.shape[1]
+    ax = jnp.clip(axes, 0.0, 1.0)
+    feats = []
+    for s in range(spec.n_levels):
+        ua, va = _PLANES[s % 3]
+        r = spec.resolutions[s]
+        res = jnp.asarray(r, axes.dtype)
+        u = ax[ua] * res                                       # [g]
+        v = ax[va] * res
+        cu = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, r - 1)
+        cv = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, r - 1)
+        wu = (u - cu)[:, None, None]                           # [g, 1, 1]
+        wv = (v - cv)[None, :, None]                           # [1, g, 1]
+        r1 = r + 1
+        base = spec.offsets[s]
+        e00 = base + cu[:, None] * r1 + cv[None, :]            # [g, g]
+        p00 = table[e00]
+        p01 = table[e00 + 1]
+        p10 = table[e00 + r1]
+        p11 = table[e00 + r1 + 1]
+        feats.append((p00 * (1 - wu) + p10 * wu) * (1 - wv)
+                     + (p01 * (1 - wu) + p11 * wu) * wv)       # [g, g, F]
+    return feats
+
+
+def _broadcast_plane(s_mod: int, pf: jnp.ndarray) -> jnp.ndarray:
+    """[g_u, g_v, F] plane grid -> [g, g, g, F] lattice broadcast."""
+    if s_mod == 0:                                             # (x, y)
+        return pf[:, :, None, :]
+    if s_mod == 1:                                             # (x, z)
+        return pf[:, None, :, :]
+    return pf[None, :, :, :]                                   # (y, z)
+
+
+def triplane_lattice_encode(spec: TriPlaneSpec, table: jnp.ndarray,
+                            axes: jnp.ndarray) -> jnp.ndarray:
+    """Additive tri-plane encoding of a separable lattice.
+
+    axes: [3, g] normalized per-axis coords -> [g, g, g, L*F] features,
+    numerically identical to encoding the full meshgrid pointwise.
+    """
+    g = axes.shape[1]
+    feats = _plane_grid_feats(spec, table, axes)
+    levels = []
+    for lvl in range(spec.pyr_levels):
+        acc = 0.0
+        for s_mod in range(3):
+            acc = acc + _broadcast_plane(s_mod, feats[3 * lvl + s_mod])
+        levels.append(jnp.broadcast_to(acc, (g, g, g, spec.n_features)))
+    return jnp.concatenate(levels, axis=-1)
+
+
 def triplane_encode_fwd_only(spec: TriPlaneSpec, table: jnp.ndarray,
                              x: jnp.ndarray,
                              compute_dtype=None) -> jnp.ndarray:

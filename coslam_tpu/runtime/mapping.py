@@ -189,6 +189,13 @@ def make_ba_step(model, config: Dict, map_tx, max_kf: int, rays_per_kf: int,
     map_accum = int(mcfg["map_accum_step"])
     pose_accum = int(mcfg["pose_accum_step"])
     map_wait = int(mcfg["map_wait_step"])
+    # Every shipped config uses map_accum_step=1 / map_wait_step=0, which
+    # makes the map-update mask STATICALLY true: specialize to a direct
+    # optimizer step and drop the gradient accumulator entirely (the
+    # masked path costs 4 extra full-parameter HBM sweeps per iteration:
+    # accumulate, two where-selects, re-zero — plus carrying a
+    # param-sized accumulator through the scan).
+    map_every_iter = (map_accum == 1 and map_wait == 0)
     optim_cur = bool(mcfg["optim_cur"])
     weights = config["training"]
     smooth_weight = float(weights["smooth_weight"])
@@ -259,8 +266,13 @@ def make_ba_step(model, config: Dict, map_tx, max_kf: int, rays_per_kf: int,
         zero_pose_grads = jax.tree_util.tree_map(jnp.zeros_like, pp)
 
         def body(carry, xs):
-            (pp, pose_opt_state, mp, map_opt_state, pose_accum_grads,
-             map_accum_grads) = carry
+            if map_every_iter:
+                (pp, pose_opt_state, mp, map_opt_state,
+                 pose_accum_grads) = carry
+                map_accum_grads = None
+            else:
+                (pp, pose_opt_state, mp, map_opt_state, pose_accum_grads,
+                 map_accum_grads) = carry
             i, k = xs
             k1, k2, k3 = jax.random.split(k, 3)
 
@@ -283,18 +295,24 @@ def make_ba_step(model, config: Dict, map_tx, max_kf: int, rays_per_kf: int,
                 loss_fn, argnums=(0, 1))(pp, mp, ray_data, ray_ids,
                                          ray_mask, k3)
 
-            map_accum_grads = jax.tree_util.tree_map(
-                jnp.add, map_accum_grads, map_grads)
             pose_accum_grads = jax.tree_util.tree_map(
                 jnp.add, pose_accum_grads, pose_grads)
 
-            # Map update every map_accum_step iters, after map_wait_step.
-            do_map = ((i + 1) % map_accum == 0) & ((i + 1) > map_wait)
-            mp, map_opt_state = _masked_opt_update(
-                map_tx, map_accum_grads, map_opt_state, mp, do_map)
-            map_accum_grads = jax.tree_util.tree_map(
-                lambda g: jnp.where(do_map, jnp.zeros_like(g), g),
-                map_accum_grads)
+            if map_every_iter:
+                # Statically-true schedule: plain optimizer step.
+                updates, map_opt_state = map_tx.update(
+                    map_grads, map_opt_state, mp)
+                mp = optax.apply_updates(mp, updates)
+            else:
+                map_accum_grads = jax.tree_util.tree_map(
+                    jnp.add, map_accum_grads, map_grads)
+                # Map update every map_accum_step iters, after map_wait_step.
+                do_map = ((i + 1) % map_accum == 0) & ((i + 1) > map_wait)
+                mp, map_opt_state = _masked_opt_update(
+                    map_tx, map_accum_grads, map_opt_state, mp, do_map)
+                map_accum_grads = jax.tree_util.tree_map(
+                    lambda g: jnp.where(do_map, jnp.zeros_like(g), g),
+                    map_accum_grads)
 
             # Pose update every pose_accum_step iters (if >= 2 keyframes).
             do_pose = ((i + 1) % pose_accum == 0) & pose_enable
@@ -304,14 +322,19 @@ def make_ba_step(model, config: Dict, map_tx, max_kf: int, rays_per_kf: int,
                 lambda g: jnp.where(do_pose, jnp.zeros_like(g), g),
                 pose_accum_grads)
 
+            if map_every_iter:
+                return (pp, pose_opt_state, mp, map_opt_state,
+                        pose_accum_grads), loss
             return (pp, pose_opt_state, mp, map_opt_state, pose_accum_grads,
                     map_accum_grads), loss
 
         keys = jax.random.split(key, iters)
         init = (pp, pose_opt_state, map_params, map_opt_state,
-                zero_pose_grads,
-                jax.tree_util.tree_map(jnp.zeros_like, map_params))
-        (pp, _, map_params, map_opt_state, _, _), losses = jax.lax.scan(
+                zero_pose_grads)
+        if not map_every_iter:
+            init = init + (
+                jax.tree_util.tree_map(jnp.zeros_like, map_params),)
+        (pp, _, map_params, map_opt_state, *_), losses = jax.lax.scan(
             body, init, (jnp.arange(iters), keys))
 
         final = build_poses(pp)

@@ -159,3 +159,46 @@ def test_checkpoint_roundtrip(tmp_path, trained_scene):
     l1 = jax.tree_util.tree_leaves(params)
     l2 = jax.tree_util.tree_leaves(params2)
     assert all(np.allclose(a, b) for a, b in zip(l1, l2))
+
+
+def test_ba_static_schedule_matches_masked():
+    """The specialized map_accum_step=1/map_wait_step=0 BA path (direct
+    optimizer step, no accumulator) must match the general masked path.
+    map_wait_step=-1 keeps identical semantics ((i+1) > -1 is always
+    true) while forcing the masked code path."""
+    from coslam_tpu.data.synth import make_synthetic_config
+    from coslam_tpu.runtime.mapping import make_ba_step
+    from coslam_tpu.runtime.optim import make_map_optimizer
+
+    cfg = make_synthetic_config("/tmp/x_ba", "/tmp/y_ba", H=32, W=40)
+    cfg["mapping"]["sample"] = 64
+    cfg["mapping"]["iters"] = 3
+    cfg["training"]["smooth_pts"] = 8
+    assert cfg["mapping"]["map_accum_step"] == 1
+    assert cfg["mapping"]["map_wait_step"] == 0
+    import copy
+    cfg_masked = copy.deepcopy(cfg)
+    cfg_masked["mapping"]["map_wait_step"] = -1
+
+    bb = np.array(cfg["mapping"]["bound"], np.float32)
+    model = JointEncoding(cfg, bb)
+    params = model.init_params(jax.random.PRNGKey(0))
+    map_tx = make_map_optimizer(cfg)
+    opt_state = map_tx.init(params)
+    max_kf, R = 4, 32
+    key = jax.random.PRNGKey(2)
+    kf_rays = jax.random.uniform(key, (max_kf, R, 7)).at[..., 2].set(-1.0)
+    kf_poses = jnp.tile(jnp.eye(4), (max_kf, 1, 1))
+    cur_rays = jax.random.uniform(key, (32 * 40, 7)).at[:, 2].set(-1.0)
+    args = (params, opt_state, kf_rays, jnp.int32(3), kf_poses,
+            jnp.eye(4), cur_rays, key)
+
+    out_static = make_ba_step(model, cfg, map_tx, max_kf, R, R)(*args)
+    out_masked = make_ba_step(model, cfg_masked, map_tx, max_kf, R, R)(*args)
+    np.testing.assert_allclose(float(out_static[4]), float(out_masked[4]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(out_static[0]),
+                    jax.tree_util.tree_leaves(out_masked[0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out_static[2]),
+                               np.asarray(out_masked[2]), atol=1e-7)
