@@ -194,6 +194,23 @@ def main():
     vm_track_ms, vm_ba_ms = alt_enc["TensoVM"]
     tri_track_ms, tri_ba_ms = alt_enc["TriPlaneHybrid"]
 
+    # Flagship operating point (configs/Replica/room0_vm.yaml): TensoVM
+    # + TPU-tuned 16-sample uniform stratum.
+    fcfg = copy.deepcopy(cfg)
+    fcfg["grid"]["enc"] = "TensoVM"
+    fcfg["training"]["n_samples_d"] = 16
+    fmodel = JointEncoding(fcfg, bb)
+    fparams = fmodel.init_params(jax.random.PRNGKey(0))
+    fopt = map_tx.init(fparams)
+    ftrack = make_tracking_step(fmodel, fcfg)
+    fba = make_ba_step(fmodel, fcfg, map_tx, num_kf, rays_per_kf,
+                       rays_per_kf, maxcur=256)
+    flag_track_ms = time_fn(lambda: ftrack(fparams, c2w_init, track_rays,
+                                           key)[1])
+    flag_ba_ms = time_fn(lambda: fba(fparams, fopt, kf_rays, kf_count,
+                                     kf_poses, cur_pose, cur_rays, key)[4],
+                         n_warmup=1, n_iter=5)
+
     tracking_fps = 1000.0 / track_ms
     mapping_fps = 1000.0 / ba_ms
     # System throughput: track every frame + map every 5th frame.
@@ -218,6 +235,14 @@ def main():
             "encode_fwd_dtable": round(enc_dtable_ms, 2),
         },
         "ba_cycle_by_grad_impl_ms": ba_variant_ms,
+        "flagship_tracking_ms": round(flag_track_ms, 2),
+        "flagship_tracking_fps_vs_baseline": round(
+            1000.0 / flag_track_ms / 17.24, 3),
+        "flagship_mapping_ms": round(flag_ba_ms, 2),
+        "flagship_mapping_fps_vs_baseline": round(
+            1000.0 / flag_ba_ms / 10.20, 3),
+        "flagship_system_fps": round(1000.0 / (
+            flag_track_ms + flag_ba_ms / cfg["mapping"]["map_every"]), 2),
         "tensovm_tracking_ms": round(vm_track_ms, 2),
         "tensovm_tracking_fps_vs_baseline": round(
             1000.0 / vm_track_ms / 17.24, 3),

@@ -1,0 +1,327 @@
+"""Quad plane kernels: ONE gather row and ONE serial RMW per
+(point, plane-section) bilinear cell.
+
+The pair machinery in ops/hash_packed.py costs 2 gather rows + 2
+pair-RMWs per (point, section): one per u-corner, each fetching/updating
+a v-adjacent pair. Both paths are serial-ISSUE-bound on the TPU scalar
+core, so halving the issues halves the time. This module packs each
+plane so a cell's full 2x2 corner patch is reachable in one issue:
+
+- GATHER: storage rows hold a [2 u-lines x 8 v-entries] tile
+  (u-windows of 2 with stride 1, v-windows of 8 with stride 7 — the
+  same overlap trick as hash_packed, applied on both axes). One 32-value
+  bf16 row (64 B — still within the free-gather width) yields all four
+  corners (p00, p01, p10, p11).
+- SCATTER: Mosaic only lowers dynamic-start slices on the SUBLANE axis
+  with full lane-row coverage (a [2, 2F] patch at a dynamic (u, v*F)
+  start fails "index in dimension 0 is a multiple of 8"), so the
+  gradient kernel uses a CELL-ROW accumulator instead: one [r^2, 4F]
+  VMEM buffer per section in which row (cu*r + cv) holds the cell's
+  whole 2x2xF corner update — a full-width row at a dynamic sublane
+  start, the exact pattern the pair kernel already compiles. ONE RMW
+  per (point, section) cell (measured: a block RMW costs the same ~1
+  serial issue as a pair RMW), then the overlap is resolved OUTSIDE the
+  serial kernel by 4 vectorized shifted adds (pure bandwidth,
+  ~table-sized traffic).
+
+Used by the TensoVM flagship encoding (ops/tensovm.py); the pair path
+remains the reference implementation and the comparison baseline.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import triplane as TP
+
+_VW = 8    # v-entries per storage tile
+_VS = 7    # v stride between tiles (overlap 1)
+_CHUNK = 8192
+_UNROLL = 8
+
+
+# ---------------------------------------------------------------------------
+# Layout derived from a TriPlaneSpec
+# ---------------------------------------------------------------------------
+
+def _uv_layout(spec: TP.TriPlaneSpec):
+    """Per-section (n_vw tiles, row offset) for the u-pair storage and
+    (u base row) for the scatter accumulator; plus totals."""
+    nvw, row_off, u_off = [], [], []
+    rows = ubase = 0
+    for s in range(spec.n_levels):
+        r = spec.resolutions[s]
+        r1 = r + 1
+        n = (r1 - 2) // _VS + 1
+        nvw.append(n)
+        row_off.append(rows)
+        u_off.append(ubase)
+        rows += r * n          # u-windows: u in [0, r-1], stride 1
+        ubase += r1
+    return tuple(nvw), tuple(row_off), tuple(u_off), rows, ubase
+
+
+def pack_uv_storage(spec: TP.TriPlaneSpec, table: jnp.ndarray,
+                    dtype=jnp.bfloat16) -> jnp.ndarray:
+    """[Tp, F] logical plane table -> [2*_VW*F, R_uv] transposed storage.
+
+    storage[(iu * _VW + k) * F + f, row_off[s] + u * nvw + t] =
+        table[offset[s] + (u + iu) * r1 + t*_VS + k, f]
+    """
+    F = spec.n_features
+    nvw, _, _, _, _ = _uv_layout(spec)
+    parts = []
+    for s in range(spec.n_levels):
+        r = spec.resolutions[s]
+        r1 = r + 1
+        t = table[spec.offsets[s]:spec.offsets[s] + spec.sizes[s]]
+        plane = t.reshape(r1, r1, F)
+        # v-windows: pad v to nvw*_VS + 1, window k covers [k*_VS, +_VW)
+        vpad = nvw[s] * _VS + 1 - r1
+        plane = jnp.pad(plane, ((0, 0), (0, max(vpad, 0)), (0, 0)))
+        main = plane[:, :nvw[s] * _VS].reshape(r1, nvw[s], _VS, F)
+        extra = plane[:, _VS::_VS][:, :nvw[s]].reshape(r1, nvw[s], 1, F)
+        vt = jnp.concatenate([main, extra], axis=2)   # [r1, nvw, 8, F]
+        # u-pairs: window u covers rows (u, u+1), u in [0, r-1]
+        pair = jnp.stack([vt[:-1], vt[1:]], axis=2)   # [r, nvw, 2, 8, F]
+        parts.append(pair.reshape(r * nvw[s], 2 * _VW * F))
+    st = jnp.concatenate(parts, axis=0)               # [R_uv, 16F]
+    return st.T.astype(dtype)
+
+
+def _cell_project(spec: TP.TriPlaneSpec, x: jnp.ndarray):
+    """x [N, 3] -> (cu, cv int32 [S, N], wu, wv [S, N])."""
+    xt = jnp.clip(x, 0.0, 1.0).T
+    S = spec.n_levels
+    res = jnp.array(spec.resolutions, dtype=x.dtype)[:, None]
+    resi = jnp.array(spec.resolutions, jnp.int32)[:, None]
+    ua = jnp.array([TP._PLANES[s % 3][0] for s in range(S)])
+    va = jnp.array([TP._PLANES[s % 3][1] for s in range(S)])
+    u = res * xt[ua]
+    v = res * xt[va]
+    cu = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, resi - 1)
+    cv = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, resi - 1)
+    return cu, cv, u - cu.astype(x.dtype), v - cv.astype(x.dtype)
+
+
+def gather_quads(spec: TP.TriPlaneSpec, storage: jnp.ndarray,
+                 cu: jnp.ndarray, cv: jnp.ndarray, dtype):
+    """One row gather per (point, section) -> corner features
+    p00, p01, p10, p11, each [F, S, N] (u index first, v second)."""
+    F = spec.n_features
+    nvw, row_off, _, _, _ = _uv_layout(spec)
+    nvw_a = jnp.array(nvw, jnp.int32)[:, None]
+    roff_a = jnp.array(row_off, jnp.int32)[:, None]
+    rows = roff_a + cu * nvw_a + cv // _VS           # [S, N]
+    offs = cv % _VS
+
+    g = storage[:, rows]                             # [16F, S, N] (bf16)
+    zero = jnp.zeros((), g.dtype)
+    out = [[None] * F for _ in range(4)]             # p00 p01 p10 p11
+    for k in range(_VW):
+        m0 = offs == k
+        m1 = offs == k - 1
+        for iu in range(2):
+            for f in range(F):
+                lane = (iu * _VW + k) * F + f
+                t0 = jnp.where(m0, g[lane], zero)
+                t1 = jnp.where(m1, g[lane], zero)
+                c0 = out[2 * iu][f]
+                c1 = out[2 * iu + 1][f]
+                out[2 * iu][f] = t0 if c0 is None else c0 + t0
+                out[2 * iu + 1][f] = t1 if c1 is None else c1 + t1
+    return tuple(jnp.stack(o).astype(dtype) for o in out)
+
+
+# ---------------------------------------------------------------------------
+# Cell-scatter kernel (table gradient): one RMW per bilinear cell
+# ---------------------------------------------------------------------------
+
+def _cell_kernel(chunk: int, width: int, *refs):
+    """refs = (idx, 4F value streams, out [cells, 4F]). One full-width
+    row RMW per cell update; streams through SMEM, accumulator in VMEM.
+    """
+    idx_ref = refs[0]
+    val_refs = refs[1:1 + width]
+    out_ref = refs[-1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    def body(i, c):
+        base = i * _UNROLL
+        for u in range(_UNROLL):
+            m = base + u
+            j = idx_ref[m]
+            upd = jnp.array([[val_refs[w][m] for w in range(width)]])
+            out_ref[pl.ds(j, 1), :] = out_ref[pl.ds(j, 1), :] + upd
+        return c
+
+    jax.lax.fori_loop(0, chunk // _UNROLL, body, 0)
+
+
+# Max cell rows per accumulator pass: 97k rows x 128 padded lanes x 4 B
+# = ~50 MB VMEM, the same envelope the pair kernel already runs in.
+_MAX_CELL_ROWS = 98 * 1024
+
+
+def _cell_groups(spec: TP.TriPlaneSpec):
+    """Group consecutive sections so each group's total r^2 cell rows
+    fit one accumulator pass. The top level (r <= 311 by the spec cap)
+    always fits alone."""
+    groups = []
+    s = 0
+    while s < spec.n_levels:
+        rows = spec.resolutions[s] ** 2
+        e = s + 1
+        while e < spec.n_levels and \
+                rows + spec.resolutions[e] ** 2 <= _MAX_CELL_ROWS:
+            rows += spec.resolutions[e] ** 2
+            e += 1
+        groups.append((s, e, rows))
+        s = e
+    return tuple(groups)
+
+
+def cell_scatter_grad(spec: TP.TriPlaneSpec, cu: jnp.ndarray,
+                      cv: jnp.ndarray, streams,
+                      interpret: bool = False) -> jnp.ndarray:
+    """cu/cv [S, N] cell coords; streams = 4F arrays [S, N] in lane
+    order (c00 f0.., c01 f0.., c10 f0.., c11 f0..). ONE serial RMW per
+    (point, section); corner overlap between neighboring cells is
+    resolved afterwards by 4 vectorized shifted adds per section.
+    Returns dtable [Tp, F] f32."""
+    F = spec.n_features
+    width = 4 * F
+
+    # Per-section accumulator slices.
+    sec_cells = [r * r for r in spec.resolutions]
+    acc_parts = []
+    for (s0, s1, rows) in _cell_groups(spec):
+        base = 0
+        idx_parts, val_parts = [], [[] for _ in range(width)]
+        for s in range(s0, s1):
+            r = spec.resolutions[s]
+            idx_parts.append((cu[s] * r + cv[s] + base).reshape(-1))
+            for w in range(width):
+                val_parts[w].append(streams[w][s].reshape(-1))
+            base += sec_cells[s]
+        idx = jnp.concatenate(idx_parts)
+        vals = [jnp.concatenate(v) for v in val_parts]
+
+        m = idx.shape[0]
+        m_pad = -(-m // _CHUNK) * _CHUNK
+        idx = jnp.clip(idx, 0, rows)  # slack row `rows` absorbs padding
+        if m_pad != m:
+            idx = jnp.concatenate(
+                [idx, jnp.full((m_pad - m,), rows, jnp.int32)])
+            vals = [jnp.concatenate([v, jnp.zeros((m_pad - m,), v.dtype)])
+                    for v in vals]
+
+        acc = pl.pallas_call(
+            partial(_cell_kernel, _CHUNK, width),
+            grid=(m_pad // _CHUNK,),
+            in_specs=[pl.BlockSpec((_CHUNK,), lambda i: (i,),
+                                   memory_space=pltpu.SMEM)] * (1 + width),
+            out_specs=pl.BlockSpec((rows + 1, width), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rows + 1, width), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(idx, *[v.astype(jnp.float32) for v in vals])
+        acc_parts.append((s0, s1, acc))
+
+    # Unpack: dtable[u, v, f] = sum over the <=4 cells containing (u, v)
+    # of their corresponding corner value (vectorized shifted adds).
+    parts = []
+    for (s0, s1, acc) in acc_parts:
+        base = 0
+        for s in range(s0, s1):
+            r = spec.resolutions[s]
+            r1 = r + 1
+            cell = acc[base:base + r * r].reshape(r, r, 4, F)
+            base += r * r
+            d = jnp.zeros((r1, r1, F), jnp.float32)
+            d = d.at[:r, :r].add(cell[:, :, 0])      # c00 at (cu, cv)
+            d = d.at[:r, 1:].add(cell[:, :, 1])      # c01 at (cu, cv+1)
+            d = d.at[1:, :r].add(cell[:, :, 2])      # c10 at (cu+1, cv)
+            d = d.at[1:, 1:].add(cell[:, :, 3])      # c11
+            parts.append(d.reshape(r1 * r1, F))
+    return jnp.concatenate(parts, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Per-section plane features with the quad fast path (custom VJP)
+# ---------------------------------------------------------------------------
+
+def make_plane_sections_quad(spec: TP.TriPlaneSpec,
+                             compute_dtype=jnp.bfloat16,
+                             interpret: bool = False):
+    """plane_sections(planes, x) -> [F, S, N]; forward = 1 quad-row
+    gather per (point, section), backward = 1 full-width cell-row RMW
+    per (point, section) + vector-math dx on the saved corner features.
+    Half the serial gather AND scatter issues of the pair path."""
+
+    @jax.custom_vjp
+    def plane_sections(planes, x):
+        out, _ = fwd(planes, x)
+        return out
+
+    def fwd(planes, x):
+        storage = pack_uv_storage(spec, planes, compute_dtype)
+        cu, cv, wu, wv = _cell_project(spec, x)
+        p00, p01, p10, p11 = gather_quads(spec, storage, cu, cv, x.dtype)
+        featv0 = p00 * (1 - wv) + p01 * wv           # u0, v-interp
+        featv1 = p10 * (1 - wv) + p11 * wv
+        feats = featv0 * (1 - wu) + featv1 * wu      # [F, S, N]
+        return feats, (x, cu, cv,
+                       p00.astype(compute_dtype), p01.astype(compute_dtype),
+                       p10.astype(compute_dtype), p11.astype(compute_dtype))
+
+    def bwd(res, g):
+        x, cu, cv, p00c, p01c, p10c, p11c = res
+        p00 = p00c.astype(x.dtype)
+        p01 = p01c.astype(x.dtype)
+        p10 = p10c.astype(x.dtype)
+        p11 = p11c.astype(x.dtype)
+        n = x.shape[0]
+        F = spec.n_features
+        _, _, wu, wv = _cell_project(spec, x)
+        gs = g                                        # [F, S, N]
+
+        featv0 = p00 * (1 - wv) + p01 * wv
+        featv1 = p10 * (1 - wv) + p11 * wv
+        res_f = jnp.array(spec.resolutions, dtype=x.dtype)[:, None]
+        du = jnp.sum(gs * (featv1 - featv0), axis=0) * res_f     # [S, N]
+        dv = jnp.sum(gs * ((p01 - p00) * (1 - wu)
+                           + (p11 - p10) * wu), axis=0) * res_f
+        dx = jnp.zeros((3, n), x.dtype)
+        for s_mod in range(3):
+            a, b = TP._PLANES[s_mod]
+            dx = dx.at[a].add(jnp.sum(du[s_mod::3], axis=0))
+            dx = dx.at[b].add(jnp.sum(dv[s_mod::3], axis=0))
+        dx = dx.T * ((x >= 0.0) & (x <= 1.0)).astype(x.dtype)
+
+        # Corner streams in accumulator lane order (c00 f.., c01 f..,
+        # c10 f.., c11 f..).
+        w00 = (1 - wu) * (1 - wv)
+        w01 = (1 - wu) * wv
+        w10 = wu * (1 - wv)
+        w11 = wu * wv
+        streams = []
+        for w in (w00, w01, w10, w11):
+            for f in range(F):
+                streams.append(gs[f] * w)
+        dplanes = cell_scatter_grad(spec, cu, cv, streams, interpret)
+        return dplanes, dx
+
+    plane_sections.defvjp(fwd, bwd)
+    return plane_sections

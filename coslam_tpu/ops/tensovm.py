@@ -296,9 +296,19 @@ def _vm_combine(spec: TP.TriPlaneSpec, plane_f: jnp.ndarray,
 
 
 def make_tensovm_encode(spec: TP.TriPlaneSpec, compute_dtype=jnp.bfloat16,
-                        interpret: bool = False):
-    """encode(params, x) -> [N, L*F] with params = {'planes', 'lines'}."""
-    planes_fn = make_plane_sections(spec, compute_dtype, interpret)
+                        interpret: bool = False, plane_impl: str = "quad"):
+    """encode(params, x) -> [N, L*F] with params = {'planes', 'lines'}.
+
+    plane_impl: 'quad' (default) — 1 gather row + 1 [2, 2F] block RMW
+    per (point, section) via ops/plane_quad.py (~2x the pair path's
+    serial-issue budget); 'pair' — the hash_packed pair machinery
+    (reference implementation / comparison baseline)."""
+    if plane_impl == "quad":
+        from . import plane_quad as PQ
+        planes_fn = PQ.make_plane_sections_quad(spec, compute_dtype,
+                                                interpret)
+    else:
+        planes_fn = make_plane_sections(spec, compute_dtype, interpret)
     lines_fn = make_line_eval(spec, compute_dtype)
 
     def encode(params, x):
