@@ -96,7 +96,8 @@ class JointEncoding:
         if "vm" in name:
             from ..ops import tensovm as VM
             spec = self.grid_spec
-            return lambda p, axes: VM.tensovm_lattice_encode(spec, p, axes)
+            on_tpu = jax.default_backend() not in ("cpu", "gpu")
+            return VM.make_tensovm_lattice(spec, fast=on_tpu)
         if "hybrid" in name:
             from ..ops import hash_packed as HP
             from ..ops import triplane as TP

@@ -259,6 +259,89 @@ def cell_scatter_grad(spec: TP.TriPlaneSpec, cu: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Separable-lattice plane grids with the cell-RMW backward (custom VJP)
+# ---------------------------------------------------------------------------
+
+def make_plane_grid_feats(spec: TP.TriPlaneSpec, interpret: bool = False):
+    """grid_feats(planes, axes [3, g]) -> [S, g, g, F] per-section
+    bilinear plane features on the separable smoothness lattice.
+
+    Forward: direct XLA gathers (g^2 rows/section — tiny). Backward:
+    table gradient through the cell-RMW kernel instead of XLA's serial
+    autodiff scatter (~130 ms per 1M updates on TPU). The lattice axes
+    get a ZERO cotangent: the smoothness grid is a random constant,
+    never optimized (asserted by the smoothness call sites, which
+    differentiate w.r.t. params only)."""
+
+    def _project_axes(axes):
+        ax = jnp.clip(axes, 0.0, 1.0)
+        cus, cvs, wus, wvs = [], [], [], []
+        for s in range(spec.n_levels):
+            ua, va = TP._PLANES[s % 3]
+            r = spec.resolutions[s]
+            res = jnp.asarray(r, axes.dtype)
+            u = ax[ua] * res
+            v = ax[va] * res
+            cu = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, r - 1)
+            cv = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, r - 1)
+            cus.append(cu)
+            cvs.append(cv)
+            wus.append(u - cu.astype(axes.dtype))
+            wvs.append(v - cv.astype(axes.dtype))
+        return cus, cvs, wus, wvs
+
+    @jax.custom_vjp
+    def grid_feats(planes, axes):
+        out, _ = fwd(planes, axes)
+        return out
+
+    def fwd(planes, axes):
+        cus, cvs, wus, wvs = _project_axes(axes)
+        feats = []
+        for s in range(spec.n_levels):
+            r1 = spec.resolutions[s] + 1
+            e00 = (spec.offsets[s] + cus[s][:, None] * r1
+                   + cvs[s][None, :])                       # [g, g]
+            wu = wus[s][:, None, None]
+            wv = wvs[s][None, :, None]
+            p00 = planes[e00]
+            p01 = planes[e00 + 1]
+            p10 = planes[e00 + r1]
+            p11 = planes[e00 + r1 + 1]
+            feats.append((p00 * (1 - wu) + p10 * wu) * (1 - wv)
+                         + (p01 * (1 - wu) + p11 * wu) * wv)
+        return jnp.stack(feats), axes
+
+    def bwd(res, g):
+        axes = res
+        F = spec.n_features
+        cus, cvs, wus, wvs = _project_axes(axes)
+        # Outer-product cell coords / corner streams per section.
+        cu = jnp.stack([jnp.broadcast_to(c[:, None], g.shape[1:3])
+                        for c in cus]).reshape(spec.n_levels, -1)
+        cv = jnp.stack([jnp.broadcast_to(c[None, :], g.shape[1:3])
+                        for c in cvs]).reshape(spec.n_levels, -1)
+        wu = jnp.stack([jnp.broadcast_to(w[:, None], g.shape[1:3])
+                        for w in wus]).reshape(spec.n_levels, -1)
+        wv = jnp.stack([jnp.broadcast_to(w[None, :], g.shape[1:3])
+                        for w in wvs]).reshape(spec.n_levels, -1)
+        gsec = g.reshape(spec.n_levels, -1, F)              # [S, g*g, F]
+        w00 = (1 - wu) * (1 - wv)
+        w01 = (1 - wu) * wv
+        w10 = wu * (1 - wv)
+        w11 = wu * wv
+        streams = []
+        for w in (w00, w01, w10, w11):
+            for f in range(F):
+                streams.append(gsec[..., f] * w)
+        dplanes = cell_scatter_grad(spec, cu, cv, streams, interpret)
+        return dplanes, jnp.zeros_like(axes)
+
+    grid_feats.defvjp(fwd, bwd)
+    return grid_feats
+
+
+# ---------------------------------------------------------------------------
 # Per-section plane features with the quad fast path (custom VJP)
 # ---------------------------------------------------------------------------
 

@@ -325,21 +325,12 @@ def tensovm_encode_fwd_only(spec: TP.TriPlaneSpec, params,
                        line_eval_fwd_only(spec, params["lines"], x))
 
 
-def tensovm_lattice_encode(spec: TP.TriPlaneSpec, params,
-                           axes: jnp.ndarray) -> jnp.ndarray:
-    """VM encoding of a SEPARABLE lattice (axes [3, g] normalized).
-
-    Planes are evaluated at their g^2 unique projections and lines at
-    their g unique coordinates, then broadcast-multiplied to the
-    [g, g, g, L*F] lattice — numerically identical to pointwise encoding
-    of the meshgrid at ~g-fold fewer table accesses. Used by the BA
-    smoothness term (reference coslam.py:251-274 samples a regular
-    jittered grid, which is exactly such a lattice)."""
+def _lattice_combine(spec: TP.TriPlaneSpec, pfeats, lines: jnp.ndarray,
+                     axes: jnp.ndarray) -> jnp.ndarray:
+    """pfeats: per-section [g, g, F] plane grids (list or stacked
+    array); lines flat table; axes [3, g] -> [g, g, g, L*F]."""
     g = axes.shape[1]
-    pfeats = TP._plane_grid_feats(spec, params["planes"], axes)
-
     ax = jnp.clip(axes, 0.0, 1.0)
-    lines = params["lines"]
     levels = []
     off = 0
     for lvl in range(spec.pyr_levels):
@@ -362,3 +353,41 @@ def tensovm_lattice_encode(spec: TP.TriPlaneSpec, params,
             acc = acc + TP._broadcast_plane(s_mod, pfeats[3 * lvl + s_mod]) * lv
         levels.append(jnp.broadcast_to(acc, (g, g, g, spec.n_features)))
     return jnp.concatenate(levels, axis=-1)
+
+
+def tensovm_lattice_encode(spec: TP.TriPlaneSpec, params,
+                           axes: jnp.ndarray) -> jnp.ndarray:
+    """VM encoding of a SEPARABLE lattice (axes [3, g] normalized).
+
+    Planes are evaluated at their g^2 unique projections and lines at
+    their g unique coordinates, then broadcast-multiplied to the
+    [g, g, g, L*F] lattice — numerically identical to pointwise encoding
+    of the meshgrid at ~g-fold fewer table accesses. Used by the BA
+    smoothness term (reference coslam.py:251-274 samples a regular
+    jittered grid, which is exactly such a lattice). Pure-XLA gathers
+    (autodiff backward); the TPU fast path is make_tensovm_lattice."""
+    return _lattice_combine(spec, TP._plane_grid_feats(spec,
+                                                       params["planes"],
+                                                       axes),
+                            params["lines"], axes)
+
+
+def make_tensovm_lattice(spec: TP.TriPlaneSpec, fast: bool = True,
+                         interpret: bool = False):
+    """Lattice encode factory. fast=True routes the plane-grid table
+    gradient through the cell-RMW Pallas kernel (ops/plane_quad.py) —
+    XLA's autodiff scatter serializes at ~130 ms per 1M updates on TPU,
+    which made the lattice backward the residual smoothness cost. The
+    lattice axes are treated as non-differentiable constants on the
+    fast path (they are random draws, never optimized)."""
+    if not fast:
+        return lambda params, axes: tensovm_lattice_encode(spec, params,
+                                                           axes)
+    from . import plane_quad as PQ
+    grid_feats = PQ.make_plane_grid_feats(spec, interpret=interpret)
+
+    def encode(params, axes):
+        return _lattice_combine(spec, grid_feats(params["planes"], axes),
+                                params["lines"], axes)
+
+    return encode

@@ -148,6 +148,31 @@ def test_lattice_smoothness_matches_pointwise(tmp_path, enc_name):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7)
 
 
+def test_fast_lattice_matches_pure_xla(spec, params):
+    """make_tensovm_lattice(fast=True) — the cell-RMW plane-grid
+    backward — must equal the pure-XLA lattice encode in value and in
+    the params gradient (axes are non-differentiable constants on the
+    fast path, so only params grads are compared)."""
+    g = 9
+    axes = jax.random.uniform(jax.random.PRNGKey(21), (3, g),
+                              minval=0.02, maxval=0.98)
+    ct = jax.random.normal(jax.random.PRNGKey(22),
+                           (g, g, g, spec.out_dim))
+    fast = VM.make_tensovm_lattice(spec, fast=True, interpret=True)
+    slow = VM.make_tensovm_lattice(spec, fast=False)
+
+    v_fast = fast(params, axes)
+    v_slow = slow(params, axes)
+    np.testing.assert_allclose(v_fast, v_slow, rtol=1e-5, atol=1e-6)
+
+    d_fast = jax.grad(lambda p: jnp.sum(fast(p, axes) * ct))(params)
+    d_slow = jax.grad(lambda p: jnp.sum(slow(p, axes) * ct))(params)
+    np.testing.assert_allclose(d_fast["planes"], d_slow["planes"],
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(d_fast["lines"], d_slow["lines"],
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_joint_encoding_integration(tmp_path):
     from coslam_tpu.data.synth import make_synthetic_config
     from coslam_tpu.models.scene_rep import JointEncoding
