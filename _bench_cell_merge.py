@@ -9,6 +9,14 @@ N/2 PREDICATED RMWs (taken only when the pair straddled two cells).
 If Mosaic's scalar branch-skip costs less than the RMW it skips, the
 duplicate fraction converts into wall-clock.
 
+MEASURED (v5e, 512k updates, 96k rows): REFUTED, decisively —
+  random: base 5.54 ms (95M upd/s)   merged 124.19 ms  (0.04x)
+  runs:   base 6.08 ms (dup=0.67)    merged 122.70 ms  (0.05x)
+A data-dependent @pl.when inside the unrolled update loop makes the
+kernel ~22x SLOWER regardless of how often it's taken: the branch
+breaks the scalar core's pipelined issue stream. Serial scatter
+kernels must stay branch-free; keep slack-row no-op writes instead.
+
 Run on TPU from repo root: python _bench_cell_merge.py
 """
 
@@ -109,10 +117,11 @@ def run_merged(idx, vals, rows):
     v2 = [jnp.where(same, 0.0, v[1::2]) for v in vals]
     take2 = (~same).astype(jnp.int32)
     n2 = i1.shape[0]
+    chunk = _CHUNK // 2  # 19 SMEM streams: halve the chunk to fit 1MB SMEM
     return pl.pallas_call(
-        partial(_kernel_merged, _CHUNK, WIDTH),
-        grid=(n2 // _CHUNK,),
-        in_specs=[pl.BlockSpec((_CHUNK,), lambda i: (i,),
+        partial(_kernel_merged, chunk, WIDTH),
+        grid=(n2 // chunk,),
+        in_specs=[pl.BlockSpec((chunk,), lambda i: (i,),
                                memory_space=pltpu.SMEM)] * (3 + 2 * WIDTH),
         out_specs=pl.BlockSpec((rows + 1, WIDTH), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
@@ -147,10 +156,10 @@ def main():
             range(WIDTH)]
     vals = [jax.device_put(v) for v in vals]
 
-    for name, ids in (("random", jnp.asarray(base_ids, jnp.int32)),
-                      ("runs", jnp.asarray(run_idx))):
-        ids = jax.device_put(ids)
-        dup = float(np.mean(np.asarray(ids[0::2]) == np.asarray(ids[1::2])))
+    for name, ids_np in (("random", base_ids.astype(np.int32)),
+                         ("runs", run_idx)):
+        dup = float(np.mean(ids_np[0::2] == ids_np[1::2]))
+        ids = jax.device_put(jnp.asarray(ids_np))
         b = jax.jit(lambda i, v: run_base(i, v, rows))
         m = jax.jit(lambda i, v: run_merged(i, v, rows))
         # Correctness first.

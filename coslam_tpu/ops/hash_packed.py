@@ -342,10 +342,11 @@ def pair_scatter(idx: jnp.ndarray, val_streams, n_rows: int,
 _MAX_GROUP_ROWS = 96 * 1024
 
 
-def _level_groups(spec: PackedGridSpec):
-    """Pack consecutive levels into row ranges fitting one accumulator."""
+def _level_groups(spec: PackedGridSpec, l_start: int = 0):
+    """Pack consecutive levels (from l_start) into row ranges fitting
+    one accumulator."""
     groups = []
-    lvl = 0
+    lvl = l_start
     while lvl < spec.n_levels:
         start = spec.offsets[lvl]
         end = lvl + 1
@@ -358,13 +359,15 @@ def _level_groups(spec: PackedGridSpec):
     return tuple(groups)
 
 
-def _scatter_table_grad(spec: PackedGridSpec, e, streams, interpret):
-    """e [L, 4, N] logical z0 entries; streams: 2F arrays [L, 4, N].
-    Scatters per level group; returns dtable [T, F] f32."""
+def _scatter_table_grad(spec: PackedGridSpec, e, streams, interpret,
+                        l_start: int = 0):
+    """e [L - l_start, 4, N] logical z0 entries for levels l_start..;
+    streams: 2F arrays of the same leading shape. Scatters per level
+    group; returns dtable [T - offsets[l_start], F] f32."""
     parts = []
-    for (l0, l1, row_start, rows) in _level_groups(spec):
-        idx_g = (e[l0:l1] - row_start).reshape(-1)
-        st_g = [s[l0:l1].reshape(-1) for s in streams]
+    for (l0, l1, row_start, rows) in _level_groups(spec, l_start):
+        idx_g = (e[l0 - l_start:l1 - l_start] - row_start).reshape(-1)
+        st_g = [s[l0 - l_start:l1 - l_start].reshape(-1) for s in streams]
         if rows <= _MAX_GROUP_ROWS:
             parts.append(pair_scatter(idx_g, st_g, rows, interpret=interpret))
         else:
@@ -387,40 +390,188 @@ def _scatter_table_grad(spec: PackedGridSpec, e, streams, interpret):
 
 
 # ---------------------------------------------------------------------------
+# Dense-level cell path: ONE gather row / ONE cell-row RMW per (point, level)
+# ---------------------------------------------------------------------------
+#
+# Dense levels form a PREFIX of the level list (hashed-ness is monotone
+# in resolution), and their full (r+1)^3 cube is materializable, so the
+# z-window machinery above is overkill for them: pack each trilinear
+# cell's complete 2x2x2xF corner patch into its own storage row
+# (lane k*F+f, k = 4*xbit + 2*ybit + zbit). Then the forward needs ONE
+# 16F-value row gather per (point, dense level) — no in-window select
+# at all — and the table gradient ONE full-width cell-row RMW
+# (ops/serial_scatter.py), 4x fewer serial issues each way than the 4
+# xy-corner pair operations. Corner overlap between neighboring cells
+# is resolved outside the kernel by 8 vectorized shifted adds.
+
+def _n_dense(spec: PackedGridSpec) -> int:
+    n = 0
+    for h in spec.hashed:
+        if h:
+            break
+        n += 1
+    return n
+
+
+def _cell_layout(spec: PackedGridSpec, nd: int):
+    """Per-dense-level cell-row offsets + total cell rows."""
+    offs, tot = [], 0
+    for l in range(nd):
+        offs.append(tot)
+        tot += spec.resolutions[l] ** 3
+    return tuple(offs), tot
+
+
+def pack_cell_storage(spec: PackedGridSpec, table: jnp.ndarray, nd: int,
+                      dtype=jnp.bfloat16) -> jnp.ndarray:
+    """[T, F] logical -> [8F, total_cells] transposed cell storage for
+    the dense prefix: column (cell_off[l] + (cx*r + cy)*r + cz) holds
+    the cell's 8 corner features, lane (4a + 2b + c)*F + f =
+    cube[cx+a, cy+b, cz+c, f]."""
+    F = spec.n_features
+    parts = []
+    for l in range(nd):
+        r = spec.resolutions[l]
+        r1 = r + 1
+        cube = table[spec.offsets[l]:spec.offsets[l] + r1 ** 3]
+        cube = cube.reshape(r1, r1, r1, F)
+        corners = [cube[a:a + r, b:b + r, c:c + r].reshape(r ** 3, F)
+                   for a in (0, 1) for b in (0, 1) for c in (0, 1)]
+        parts.append(jnp.concatenate(corners, axis=-1))       # [r^3, 8F]
+    return jnp.concatenate(parts, axis=0).T.astype(dtype)
+
+
+def _cell_rows(spec: PackedGridSpec, cell: jnp.ndarray, nd: int):
+    """cell [L, 3, N] -> dense cell-storage rows [nd, N]."""
+    coffs, _ = _cell_layout(spec, nd)
+    rows = []
+    for l in range(nd):
+        r = spec.resolutions[l]
+        cx, cy, cz = cell[l, 0], cell[l, 1], cell[l, 2]
+        rows.append(coffs[l] + (cx * r + cy) * r + cz)
+    return jnp.stack(rows)
+
+
+def _gather_cells(spec: PackedGridSpec, cstorage: jnp.ndarray,
+                  crows: jnp.ndarray, dtype):
+    """One row gather per (point, dense level) -> p0, p1 [F, nd, 4, N]
+    (xy-corner order matching _xy_weights, z = 0/1)."""
+    F = spec.n_features
+    g = cstorage[:, crows]                        # [8F, nd, N]
+    p0 = jnp.stack([jnp.stack([g[(xy * 2) * F + f] for xy in range(4)],
+                              axis=1) for f in range(F)])
+    p1 = jnp.stack([jnp.stack([g[(xy * 2 + 1) * F + f] for xy in range(4)],
+                              axis=1) for f in range(F)])
+    return p0.astype(dtype), p1.astype(dtype)
+
+
+def _cell_groups3d(spec: PackedGridSpec, nd: int):
+    """Group consecutive dense levels so each group's r^3 cell rows fit
+    one accumulator pass."""
+    from .serial_scatter import MAX_ROWS
+    groups = []
+    l = 0
+    while l < nd:
+        rows = spec.resolutions[l] ** 3
+        e = l + 1
+        while e < nd and rows + spec.resolutions[e] ** 3 <= MAX_ROWS:
+            rows += spec.resolutions[e] ** 3
+            e += 1
+        groups.append((l, e, rows))
+        l = e
+    return tuple(groups)
+
+
+def _cell_table_grad(spec: PackedGridSpec, crows: jnp.ndarray, streams,
+                     nd: int, interpret: bool) -> jnp.ndarray:
+    """crows [nd, N] cell-storage rows; streams: 8F arrays [nd, N] in
+    lane order (k*F + f). Returns dtable rows for the dense prefix
+    [offsets[nd], F] f32."""
+    from .serial_scatter import row_accum
+    F = spec.n_features
+    coffs, _ = _cell_layout(spec, nd)
+    parts = []
+    for (l0, l1, rows) in _cell_groups3d(spec, nd):
+        idx = (crows[l0:l1] - coffs[l0]).reshape(-1)
+        st = [s[l0:l1].reshape(-1) for s in streams]
+        acc = row_accum(idx, st, rows, interpret)
+        base = 0
+        for l in range(l0, l1):
+            r = spec.resolutions[l]
+            r1 = r + 1
+            cellacc = acc[base:base + r ** 3].reshape(r, r, r, 8, F)
+            base += r ** 3
+            d = jnp.zeros((r1, r1, r1, F), jnp.float32)
+            k = 0
+            for a in (0, 1):
+                for b in (0, 1):
+                    for c in (0, 1):
+                        d = d.at[a:a + r, b:b + r, c:c + r].add(
+                            cellacc[:, :, :, k, :])
+                        k += 1
+            parts.append(d.reshape(r1 ** 3, F))
+    return jnp.concatenate(parts, axis=0)
+
+
+# ---------------------------------------------------------------------------
 # The encoder: custom VJP around gather-fused forward + pair-scatter bwd
 # ---------------------------------------------------------------------------
 
 def make_packed_encode(spec: PackedGridSpec, compute_dtype=jnp.bfloat16,
-                       interpret: bool = False):
+                       interpret: bool = False, cell_dense: bool = True):
     """Returns encode(table, x) -> [N, L*F] with:
 
-    - forward: pack -> 4 wide lane-gathers per (point, level) -> fused
-      z-select + trilinear combine (all [., N]-minor);
+    - forward: pack -> wide lane-gathers (ONE per (point, level) on the
+      dense prefix via the cell layout, 4 per level on hashed levels)
+      -> fused z-select + trilinear combine (all [., N]-minor);
     - bwd dx: vector math on saved pair features (no re-gather);
-    - bwd dtable: pair-scatter Pallas kernel (deterministic f32).
+    - bwd dtable: serial row-RMW Pallas kernels (deterministic f32) —
+      one cell-row per (point, dense level), one [2, F] pair per
+      (point, hashed level, xy corner).
+
+    cell_dense=False falls back to the all-pair path (comparison
+    baseline; no numeric difference).
     """
+    nd = _n_dense(spec) if cell_dense else 0
+    nh = spec.n_levels - nd
+
+    def _forward(table, x):
+        cell, w = _cells_and_weights(spec, x)
+        parts0, parts1 = [], []
+        crows = e_h = None
+        if nd:
+            cstorage = pack_cell_storage(spec, table, nd, compute_dtype)
+            crows = _cell_rows(spec, cell, nd)
+            p0d, p1d = _gather_cells(spec, cstorage, crows, x.dtype)
+            parts0.append(p0d)
+            parts1.append(p1d)
+        if nh:
+            storage = pack_storage(spec, table, compute_dtype)
+            e = _corner_entries(spec, cell)
+            rows, offs = _rows_offs(spec, e)
+            p0h, p1h = _gather_pairs(spec, storage, rows[nd:], offs[nd:],
+                                     x.dtype)
+            e_h = e[nd:]
+            parts0.append(p0h)
+            parts1.append(p1h)
+        p0 = parts0[0] if len(parts0) == 1 else jnp.concatenate(parts0, 1)
+        p1 = parts1[0] if len(parts1) == 1 else jnp.concatenate(parts1, 1)
+        out = _combine(p0, p1, w[:, 2], _xy_weights(w))
+        return out, (crows, e_h, p0, p1)
 
     @jax.custom_vjp
     def encode(table, x):
-        storage = pack_storage(spec, table, compute_dtype)
-        cell, w = _cells_and_weights(spec, x)
-        e = _corner_entries(spec, cell)
-        rows, offs = _rows_offs(spec, e)
-        p0, p1 = _gather_pairs(spec, storage, rows, offs, x.dtype)
-        return _combine(p0, p1, w[:, 2], _xy_weights(w))
+        out, _ = _forward(table, x)
+        return out
 
     def fwd(table, x):
-        storage = pack_storage(spec, table, compute_dtype)
-        cell, w = _cells_and_weights(spec, x)
-        e = _corner_entries(spec, cell)
-        rows, offs = _rows_offs(spec, e)
-        p0, p1 = _gather_pairs(spec, storage, rows, offs, x.dtype)
-        out = _combine(p0, p1, w[:, 2], _xy_weights(w))
+        out, (crows, e_h, p0, p1) = _forward(table, x)
         # Residuals: x is tiny; pair features saved in compute dtype.
-        return out, (x, e, p0.astype(compute_dtype), p1.astype(compute_dtype))
+        return out, (x, crows, e_h,
+                     p0.astype(compute_dtype), p1.astype(compute_dtype))
 
     def bwd(res, g):
-        x, e, p0c, p1c = res
+        x, crows, e, p0c, p1c = res
         p0 = p0c.astype(x.dtype)
         p1 = p1c.astype(x.dtype)
         n = x.shape[0]
@@ -451,13 +602,25 @@ def make_packed_encode(spec: PackedGridSpec, compute_dtype=jnp.bfloat16,
         # Zero dx where x was clipped outside [0, 1].
         dx = dx * ((x >= 0.0) & (x <= 1.0)).astype(x.dtype)
 
-        # --- dtable (pair-scatter) ---------------------------------------
+        # --- dtable (cell-RMW on the dense prefix, pair-scatter on the
+        # hashed suffix) --------------------------------------------------
         gw = gl[:, :, None] * wxy[None]                        # [F, L, 4, N]
         v0 = gw * (1 - wz)[None, :, None]
         v1 = gw * wz[None, :, None]
-        streams = tuple(v0[f] for f in range(F)) + tuple(
-            v1[f] for f in range(F))
-        dtable = _scatter_table_grad(spec, e, streams, interpret)
+        parts = []
+        if nd:
+            # Cell-storage lane order: k = xy*2 + zc, stream (k, f).
+            cstreams = [(v1 if zc else v0)[f, :nd, xy]
+                        for xy in range(4) for zc in (0, 1)
+                        for f in range(F)]
+            parts.append(_cell_table_grad(spec, crows, cstreams, nd,
+                                          interpret))
+        if nh:
+            streams = tuple(v0[f, nd:] for f in range(F)) + tuple(
+                v1[f, nd:] for f in range(F))
+            parts.append(_scatter_table_grad(spec, e, streams, interpret,
+                                             l_start=nd))
+        dtable = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
         return dtable, dx
 
     encode.defvjp(fwd, bwd)

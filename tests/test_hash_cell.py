@@ -1,0 +1,96 @@
+"""Dense-prefix cell path of the packed hash encoding: one gather row /
+one cell-row RMW per (point, dense level) must match the pure-XLA
+oracle and the all-pair path exactly (forward, dtable, dx)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coslam_tpu.ops import hash_packed as HP
+
+
+def _mixed_spec():
+    # res 16 dense (17^3 = 4913 <= 2^13), 25/40/64 hashed.
+    return HP.make_packed_spec(64, log2_hashmap_size=13, n_levels=4,
+                               base_resolution=16)
+
+
+def _dense_spec():
+    return HP.make_packed_spec(24, log2_hashmap_size=16, n_levels=3,
+                               base_resolution=12, dense_only=True)
+
+
+@pytest.mark.parametrize("mk", [_mixed_spec, _dense_spec])
+def test_forward_matches_oracle(mk):
+    spec = mk()
+    assert (HP._n_dense(spec) > 0), "spec must exercise the cell path"
+    key = jax.random.PRNGKey(0)
+    table = jax.random.normal(key, (spec.total_entries, spec.n_features))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (257, 3),
+                           minval=-0.05, maxval=1.05)
+    enc = HP.make_packed_encode(spec, compute_dtype=jnp.float32,
+                                interpret=True, cell_dense=True)
+    out = enc(table, x)
+    ref = HP.packed_encode_fwd_only(spec, table, x)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("mk", [_mixed_spec, _dense_spec])
+def test_dtable_matches_pair_path(mk):
+    spec = mk()
+    key = jax.random.PRNGKey(2)
+    table = jax.random.normal(key, (spec.total_entries, spec.n_features))
+    x = jax.random.uniform(jax.random.PRNGKey(3), (129, 3))
+    g = jax.random.normal(jax.random.PRNGKey(4), (129, spec.out_dim))
+    cell = HP.make_packed_encode(spec, compute_dtype=jnp.float32,
+                                 interpret=True, cell_dense=True)
+    pair = HP.make_packed_encode(spec, compute_dtype=jnp.float32,
+                                 interpret=True, cell_dense=False)
+    d_cell = jax.grad(lambda t: jnp.sum(cell(t, x) * g))(table)
+    d_pair = jax.grad(lambda t: jnp.sum(pair(t, x) * g))(table)
+    np.testing.assert_allclose(d_cell, d_pair, rtol=1e-4, atol=1e-5)
+    d_ref = jax.grad(lambda t: jnp.sum(
+        HP.packed_encode_fwd_only(spec, t, x) * g))(table)
+    np.testing.assert_allclose(d_cell, d_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_dx_matches_oracle():
+    spec = _mixed_spec()
+    key = jax.random.PRNGKey(5)
+    table = jax.random.normal(key, (spec.total_entries, spec.n_features))
+    # Interior points: the oracle's clip has zero grad outside.
+    x = jax.random.uniform(jax.random.PRNGKey(6), (65, 3),
+                           minval=0.05, maxval=0.95)
+    g = jax.random.normal(jax.random.PRNGKey(7), (65, spec.out_dim))
+    enc = HP.make_packed_encode(spec, compute_dtype=jnp.float32,
+                                interpret=True, cell_dense=True)
+    d_fast = jax.grad(lambda z: jnp.sum(enc(table, z) * g))(x)
+    d_ref = jax.grad(lambda z: jnp.sum(
+        HP.packed_encode_fwd_only(spec, table, z) * g))(x)
+    np.testing.assert_allclose(d_fast, d_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_cell_storage_roundtrip():
+    """Every (cell, corner) is reachable at the right lane."""
+    spec = _dense_spec()
+    nd = HP._n_dense(spec)
+    F = spec.n_features
+    table = jnp.arange(spec.total_entries * F,
+                       dtype=jnp.float32).reshape(-1, F)
+    st = np.asarray(HP.pack_cell_storage(spec, table, nd, jnp.float32))
+    coffs, _ = HP._cell_layout(spec, nd)
+    rng = np.random.default_rng(0)
+    for l in range(nd):
+        r = spec.resolutions[l]
+        for _ in range(20):
+            cx, cy, cz = rng.integers(0, r, 3)
+            row = coffs[l] + (cx * r + cy) * r + cz
+            for k, (a, b, c) in enumerate([(a, b, c) for a in (0, 1)
+                                           for b in (0, 1)
+                                           for c in (0, 1)]):
+                logical = (spec.offsets[l]
+                           + ((cx + a) * (r + 1) + cy + b) * (r + 1)
+                           + cz + c)
+                for f in range(F):
+                    assert st[k * F + f, row] == float(table[logical, f])
