@@ -25,7 +25,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _UNROLL = 8
-_MASK = jnp.int32(-65536)  # 0xFFFF0000
+_MASK = -65536  # 0xFFFF0000 as a Python int (jnp constants get captured)
 
 
 def _kernel_f32(chunk, width, *refs):
@@ -79,6 +79,45 @@ def _kernel_pk(chunk, width, *refs):
     jax.lax.fori_loop(0, chunk // _UNROLL, body, 0)
 
 
+def _kernel_vec(chunk, width, idx_ref, val_ref, out_ref):
+    """Values as a [chunk, width] VMEM block: the update row is READ AS
+    A VECTOR (one dynamic-sublane read) instead of being assembled from
+    `width` scalar inserts — the insert chain is what scales with width
+    in the SMEM kernels."""
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    def body(i, c):
+        base = i * _UNROLL
+        for u in range(_UNROLL):
+            m = base + u
+            j = idx_ref[m]
+            upd = val_ref[pl.ds(m, 1), :]
+            out_ref[pl.ds(j, 1), :] = out_ref[pl.ds(j, 1), :] + upd
+        return c
+
+    jax.lax.fori_loop(0, chunk // _UNROLL, body, 0)
+
+
+def _call_vec(chunk, rows, width, idx, vals2d):
+    m = idx.shape[0]
+    return pl.pallas_call(
+        partial(_kernel_vec, chunk, width),
+        grid=(m // chunk,),
+        in_specs=[pl.BlockSpec((chunk,), lambda i: (i,),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((chunk, width), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((rows + 1, width), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows + 1, width), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(idx, vals2d)
+
+
 def _call(kernel, nin, chunk, rows, width, idx, streams):
     m = idx.shape[0]
     return pl.pallas_call(
@@ -123,14 +162,21 @@ def main():
         pkj = jax.jit(lambda: _call(_kernel_pk, 1 + width // 2, 8192,
                                     rows, width, idx, pk))
 
+        vals2d = jnp.stack(streams, axis=-1)          # [n, width]
+        vec = jax.jit(lambda: _call_vec(8192, rows, width, idx, vals2d))
+
         a = np.asarray(f32())
         b = np.asarray(pkj())
+        c = np.asarray(vec())
         err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-9)
+        errv = np.abs(a - c).max() / max(np.abs(a).max(), 1e-9)
         t_f = timeit(f32)
         t_p = timeit(pkj)
+        t_v = timeit(vec)
         print(f"width {width:2d}: f32 {t_f:6.2f} ms ({n / t_f / 1e3:4.0f}M"
               f" upd/s)  packed-bf16 {t_p:6.2f} ms ({n / t_p / 1e3:4.0f}M"
-              f" upd/s)  rel-err {err:.1e}", flush=True)
+              f" upd/s, err {err:.1e})  vec-vmem {t_v:6.2f} ms "
+              f"({n / t_v / 1e3:4.0f}M upd/s, err {errv:.1e})", flush=True)
 
 
 if __name__ == "__main__":

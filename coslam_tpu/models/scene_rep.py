@@ -97,6 +97,11 @@ class JointEncoding:
             from ..ops import tensovm as VM
             spec = self.grid_spec
             on_tpu = jax.default_backend() not in ("cpu", "gpu")
+            # Smoothness goes through the analytic separable TV (O(g^2),
+            # no g^3 feature volume); the lattice encode stays available
+            # for callers that need the actual feature grid.
+            self._grid_lattice_tv = VM.make_tensovm_lattice_tv(
+                spec, fast=on_tpu)
             return VM.make_tensovm_lattice(spec, fast=on_tpu)
         if "hybrid" in name:
             from ..ops import hash_packed as HP
@@ -116,8 +121,20 @@ class JointEncoding:
 
             return hybrid_lattice
         if "plane" in name:
+            from ..ops import tensovm as VM
             from ..ops import triplane as TP
             spec = self.grid_spec
+            # Additive tri-planes are TensoVM with unit lines (tested
+            # equivalence): reuse the analytic O(g^2) TV.
+            tv = VM.make_tensovm_lattice_tv(spec)
+            n_lrows = VM.line_total_rows(spec)
+
+            def plane_tv(table, axes, sample_points):
+                ones = jnp.ones((n_lrows, spec.n_features), table.dtype)
+                return tv({"planes": table, "lines": ones}, axes,
+                          sample_points)
+
+            self._grid_lattice_tv = plane_tv
             return lambda p, axes: TP.triplane_lattice_encode(spec, p, axes)
         return None
 
@@ -399,7 +416,15 @@ class JointEncoding:
 
         Factorized encodings (TriPlane/TensoVM/hybrid planes) take the
         separable-lattice fast path: g^2 unique plane projections and g
-        line coordinates instead of g^3 pointwise encodes."""
+        line coordinates instead of g^3 pointwise encodes. TensoVM goes
+        further: the TV sum itself factorizes into O(g^2) contractions
+        (ops/tensovm.make_tensovm_lattice_tv), so no feature volume is
+        ever built."""
+        if getattr(self, "_grid_lattice_tv", None) is not None:
+            axes = self.smoothness_axes(key, sample_points, voxel_size,
+                                        margin)
+            return self._grid_lattice_tv(params["grid"], axes,
+                                         sample_points)
         if self._grid_lattice is not None:
             axes = self.smoothness_axes(key, sample_points, voxel_size,
                                         margin)

@@ -21,8 +21,17 @@ pair (z, z+1) is then one contiguous row pair, so:
 
 - forward gathers fetch an 8-entry z-window per (point, level,
   xy-corner): 4 wide gathers instead of 8 narrow ones;
-- the table-gradient kernel applies one [2, F] read-modify-write per
-  (point, level, xy-corner): half the serial-scatter issues.
+- the table-gradient kernel applies one [1, 2F] pair-row
+  read-modify-write per (point, level, xy-corner): half the
+  serial-scatter issues, with the update row READ AS A VECTOR from a
+  VMEM value matrix (ops/serial_scatter.py) and the z+1 offset
+  resolved by one shifted add per level outside the kernel.
+
+DENSE levels (the coarse prefix, where the full (res+1)^3 cube fits
+the hash budget) skip the z-window machinery entirely: a cell-layout
+storage gives ONE 8F-value gather row and ONE [1, 8F] cell-row RMW per
+(point, level) — 4x fewer serial issues each way than the xy-corner
+pair path (see "Dense-level cell path" below).
 
 The z-window storage uses overlapping windows of 8 entries with stride 7
 (window r holds logical entries 7r..7r+7), so every pair (e, e+1) lies
@@ -363,7 +372,14 @@ def _scatter_table_grad(spec: PackedGridSpec, e, streams, interpret,
                         l_start: int = 0):
     """e [L - l_start, 4, N] logical z0 entries for levels l_start..;
     streams: 2F arrays of the same leading shape. Scatters per level
-    group; returns dtable [T - offsets[l_start], F] f32."""
+    group with the [2, F] pair-RMW kernel; returns dtable
+    [T - offsets[l_start], F] f32.
+
+    NOTE: measured A/B (_bench_pair_ab.py) keeps the scalar-assembled
+    [2, F] pair kernel here — at width 4 it runs 153M upd/s in situ vs
+    123M for the [1, 2F] vector-read row form (stack relayout + per-call
+    overhead exceed the small per-update win at this width). The wide
+    cell paths (4F/8F rows) DO use the vector-read kernel."""
     parts = []
     for (l0, l1, row_start, rows) in _level_groups(spec, l_start):
         idx_g = (e[l0 - l_start:l1 - l_start] - row_start).reshape(-1)
@@ -487,14 +503,30 @@ def _cell_table_grad(spec: PackedGridSpec, crows: jnp.ndarray, streams,
     """crows [nd, N] cell-storage rows; streams: 8F arrays [nd, N] in
     lane order (k*F + f). Returns dtable rows for the dense prefix
     [offsets[nd], F] f32."""
-    from .serial_scatter import row_accum
+    from .serial_scatter import MAX_ROWS, row_accum, row_accum_mat
     F = spec.n_features
     coffs, _ = _cell_layout(spec, nd)
     parts = []
     for (l0, l1, rows) in _cell_groups3d(spec, nd):
         idx = (crows[l0:l1] - coffs[l0]).reshape(-1)
         st = [s[l0:l1].reshape(-1) for s in streams]
-        acc = row_accum(idx, st, rows, interpret)
+        if rows <= MAX_ROWS:
+            acc = row_accum(idx, st, rows, interpret)
+        else:
+            # One dense level can exceed the VMEM accumulator (hash_size
+            # >= 18 lets dense r grow to 63 -> 250k cell rows): disjoint
+            # multi-pass, same as the hashed branch.
+            vals = jnp.stack(st, axis=-1)
+            acc = jnp.zeros((rows + 1, len(st)), jnp.float32)
+            start = 0
+            while start < rows:
+                size = min(MAX_ROWS, rows - start)
+                local = idx - start
+                local = jnp.where((local >= 0) & (local < size), local,
+                                  size)
+                part = row_accum_mat(local, vals, size, interpret)[:size]
+                acc = acc.at[start:start + size].add(part)
+                start += size
         base = 0
         for l in range(l0, l1):
             r = spec.resolutions[l]

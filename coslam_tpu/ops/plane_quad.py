@@ -30,20 +30,15 @@ remains the reference implementation and the comparison baseline.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from . import triplane as TP
 
 _VW = 8    # v-entries per storage tile
 _VS = 7    # v stride between tiles (overlap 1)
-_CHUNK = 8192
-_UNROLL = 8
 
 
 # ---------------------------------------------------------------------------
@@ -139,34 +134,6 @@ def gather_quads(spec: TP.TriPlaneSpec, storage: jnp.ndarray,
     return tuple(jnp.stack(o).astype(dtype) for o in out)
 
 
-# ---------------------------------------------------------------------------
-# Cell-scatter kernel (table gradient): one RMW per bilinear cell
-# ---------------------------------------------------------------------------
-
-def _cell_kernel(chunk: int, width: int, *refs):
-    """refs = (idx, 4F value streams, out [cells, 4F]). One full-width
-    row RMW per cell update; streams through SMEM, accumulator in VMEM.
-    """
-    idx_ref = refs[0]
-    val_refs = refs[1:1 + width]
-    out_ref = refs[-1]
-
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    def body(i, c):
-        base = i * _UNROLL
-        for u in range(_UNROLL):
-            m = base + u
-            j = idx_ref[m]
-            upd = jnp.array([[val_refs[w][m] for w in range(width)]])
-            out_ref[pl.ds(j, 1), :] = out_ref[pl.ds(j, 1), :] + upd
-        return c
-
-    jax.lax.fori_loop(0, chunk // _UNROLL, body, 0)
-
-
 # Max cell rows per accumulator pass: 97k rows x 128 padded lanes x 4 B
 # = ~50 MB VMEM, the same envelope the pair kernel already runs in.
 _MAX_CELL_ROWS = 98 * 1024
@@ -195,9 +162,13 @@ def cell_scatter_grad(spec: TP.TriPlaneSpec, cu: jnp.ndarray,
                       interpret: bool = False) -> jnp.ndarray:
     """cu/cv [S, N] cell coords; streams = 4F arrays [S, N] in lane
     order (c00 f0.., c01 f0.., c10 f0.., c11 f0..). ONE serial RMW per
-    (point, section); corner overlap between neighboring cells is
-    resolved afterwards by 4 vectorized shifted adds per section.
-    Returns dtable [Tp, F] f32."""
+    (point, section) — the update row is read as a VECTOR from a VMEM
+    value matrix (ops/serial_scatter.py; scalar-assembled rows scale
+    with width). Corner overlap between neighboring cells is resolved
+    afterwards by 4 vectorized shifted adds per section. Returns
+    dtable [Tp, F] f32."""
+    from .serial_scatter import row_accum
+
     F = spec.n_features
     width = 4 * F
 
@@ -215,28 +186,7 @@ def cell_scatter_grad(spec: TP.TriPlaneSpec, cu: jnp.ndarray,
             base += sec_cells[s]
         idx = jnp.concatenate(idx_parts)
         vals = [jnp.concatenate(v) for v in val_parts]
-
-        m = idx.shape[0]
-        m_pad = -(-m // _CHUNK) * _CHUNK
-        idx = jnp.clip(idx, 0, rows)  # slack row `rows` absorbs padding
-        if m_pad != m:
-            idx = jnp.concatenate(
-                [idx, jnp.full((m_pad - m,), rows, jnp.int32)])
-            vals = [jnp.concatenate([v, jnp.zeros((m_pad - m,), v.dtype)])
-                    for v in vals]
-
-        acc = pl.pallas_call(
-            partial(_cell_kernel, _CHUNK, width),
-            grid=(m_pad // _CHUNK,),
-            in_specs=[pl.BlockSpec((_CHUNK,), lambda i: (i,),
-                                   memory_space=pltpu.SMEM)] * (1 + width),
-            out_specs=pl.BlockSpec((rows + 1, width), lambda i: (0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((rows + 1, width), jnp.float32),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-            interpret=interpret,
-        )(idx, *[v.astype(jnp.float32) for v in vals])
+        acc = row_accum(idx, vals, rows, interpret)
         acc_parts.append((s0, s1, acc))
 
     # Unpack: dtable[u, v, f] = sum over the <=4 cells containing (u, v)

@@ -11,9 +11,14 @@ patch in ops/plane_quad.py, a trilinear cell's 2x2x2xF patch for dense
 hash levels) and resolve corner overlap OUTSIDE the kernel with a few
 vectorized shifted adds.
 
-Streams travel through SMEM as 1-D blocks (2-D value layouts lane-pad
-catastrophically); the accumulator row count must fit the ~50 MB VMEM
-envelope (rows x 128 padded lanes x 4 B).
+Only the INDEX streams travel through SMEM; the update VALUES stream
+through VMEM as a [chunk, W] block and each update row is read AS A
+VECTOR (one dynamic-sublane read). Assembling the row from W scalar
+SMEM loads instead makes the loop cost scale with W (vector-insert
+chain: 147/105/70M upd/s at W = 4/8/16, measured in
+_bench_row_rates.py) while the vector-read form is width-independent
+(~165-177M upd/s) and exactly f32. The accumulator row count must fit
+the ~50 MB VMEM envelope (rows x 128 padded lanes x 4 B).
 """
 
 from __future__ import annotations
@@ -32,11 +37,8 @@ _UNROLL = 8
 MAX_ROWS = 98 * 1024
 
 
-def _row_kernel(chunk: int, width: int, *refs):
-    """refs = (idx, `width` value streams, out [rows, width])."""
-    idx_ref = refs[0]
-    val_refs = refs[1:1 + width]
-    out_ref = refs[-1]
+def _row_kernel(chunk: int, idx_ref, val_ref, out_ref):
+    """idx [chunk] SMEM; vals [chunk, W] VMEM; out [rows, W] VMEM."""
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -47,45 +49,50 @@ def _row_kernel(chunk: int, width: int, *refs):
         for u in range(_UNROLL):
             m = base + u
             j = idx_ref[m]
-            upd = jnp.array([[val_refs[w][m] for w in range(width)]])
+            upd = val_ref[pl.ds(m, 1), :]
             out_ref[pl.ds(j, 1), :] = out_ref[pl.ds(j, 1), :] + upd
         return c
 
     jax.lax.fori_loop(0, chunk // _UNROLL, body, 0)
 
 
-def row_accum(idx: jnp.ndarray, streams, rows: int,
-              interpret: bool = False) -> jnp.ndarray:
-    """out[rows+1, W] f32 with out[idx[m]] += [s[m] for s in streams].
+def row_accum_mat(idx: jnp.ndarray, vals: jnp.ndarray, rows: int,
+                  interpret: bool = False) -> jnp.ndarray:
+    """out[rows+1, W] f32 with out[idx[m]] += vals[m].
 
     idx [M] int32 (values outside [0, rows] are clipped into the slack
-    row `rows`, which also absorbs the chunk padding); streams: W 1-D
-    [M] arrays. The caller drops the slack row.
+    row `rows`, which also absorbs the chunk padding); vals [M, W].
+    The caller drops the slack row.
     """
-    width = len(streams)
-    # SMEM budget: (1 + width) double-buffered f32 stream windows must
-    # fit 1 MB — chunk 8192 holds up to 9 streams (measured fastest),
-    # wider rows drop to 4096.
-    chunk = _CHUNK if width <= 8 else _CHUNK // 2
-    m = idx.shape[0]
-    m_pad = -(-m // chunk) * chunk
+    m, width = vals.shape
+    m_pad = -(-m // _CHUNK) * _CHUNK
     idx = jnp.clip(idx, 0, rows)
+    vals = vals.astype(jnp.float32)
     if m_pad != m:
         idx = jnp.concatenate(
             [idx, jnp.full((m_pad - m,), rows, jnp.int32)])
-        streams = [jnp.concatenate([v, jnp.zeros((m_pad - m,), v.dtype)])
-                   for v in streams]
+        vals = jnp.concatenate(
+            [vals, jnp.zeros((m_pad - m, width), jnp.float32)])
 
     return pl.pallas_call(
-        partial(_row_kernel, chunk, width),
-        grid=(m_pad // chunk,),
-        in_specs=[pl.BlockSpec((chunk,), lambda i: (i,),
-                               memory_space=pltpu.SMEM)] * (1 + width),
+        partial(_row_kernel, _CHUNK),
+        grid=(m_pad // _CHUNK,),
+        in_specs=[pl.BlockSpec((_CHUNK,), lambda i: (i,),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((_CHUNK, width), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((rows + 1, width), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows + 1, width), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(idx.astype(jnp.int32),
-      *[v.astype(jnp.float32) for v in streams])
+    )(idx.astype(jnp.int32), vals)
+
+
+def row_accum(idx: jnp.ndarray, streams, rows: int,
+              interpret: bool = False) -> jnp.ndarray:
+    """Stream-list convenience wrapper: stacks W 1-D [M] streams into
+    the [M, W] value matrix (one bandwidth-bound relayout, dwarfed by
+    the serial-issue savings) and calls row_accum_mat."""
+    return row_accum_mat(idx, jnp.stack(streams, axis=-1), rows, interpret)

@@ -325,25 +325,39 @@ def tensovm_encode_fwd_only(spec: TP.TriPlaneSpec, params,
                        line_eval_fwd_only(spec, params["lines"], x))
 
 
-def _lattice_combine(spec: TP.TriPlaneSpec, pfeats, lines: jnp.ndarray,
-                     axes: jnp.ndarray) -> jnp.ndarray:
-    """pfeats: per-section [g, g, F] plane grids (list or stacked
-    array); lines flat table; axes [3, g] -> [g, g, g, L*F]."""
-    g = axes.shape[1]
+def _lattice_line_vals(spec: TP.TriPlaneSpec, lines: jnp.ndarray,
+                       axes: jnp.ndarray):
+    """Per-section linear-interpolated line values on the lattice axes:
+    list over S sections of [g, F] (section 3*lvl + s_mod evaluates its
+    line axis _LINE_AXES[s_mod])."""
     ax = jnp.clip(axes, 0.0, 1.0)
-    levels = []
+    vals = []
     off = 0
     for lvl in range(spec.pyr_levels):
         r = spec.resolutions[3 * lvl]
         r1 = r + 1
         tab = lines[off:off + 3 * r1].reshape(3, r1, -1)
         off += 3 * r1
-        acc = 0.0
         for s_mod in range(3):
             w = ax[_LINE_AXES[s_mod]] * jnp.asarray(r, axes.dtype)  # [g]
             i0 = jnp.clip(jnp.floor(w).astype(jnp.int32), 0, r - 1)
             f = (w - i0)[:, None]
-            lf = tab[s_mod][i0] * (1 - f) + tab[s_mod][i0 + 1] * f  # [g, F]
+            vals.append(tab[s_mod][i0] * (1 - f)
+                        + tab[s_mod][i0 + 1] * f)                   # [g, F]
+    return vals
+
+
+def _lattice_combine(spec: TP.TriPlaneSpec, pfeats, lines: jnp.ndarray,
+                     axes: jnp.ndarray) -> jnp.ndarray:
+    """pfeats: per-section [g, g, F] plane grids (list or stacked
+    array); lines flat table; axes [3, g] -> [g, g, g, L*F]."""
+    g = axes.shape[1]
+    lvals = _lattice_line_vals(spec, lines, axes)
+    levels = []
+    for lvl in range(spec.pyr_levels):
+        acc = 0.0
+        for s_mod in range(3):
+            lf = lvals[3 * lvl + s_mod]                             # [g, F]
             if s_mod == 0:      # xy-plane, z-line
                 lv = lf[None, None, :, :]
             elif s_mod == 1:    # xz-plane, y-line
@@ -391,3 +405,97 @@ def make_tensovm_lattice(spec: TP.TriPlaneSpec, fast: bool = True,
                                 params["lines"], axes)
 
     return encode
+
+
+# ---------------------------------------------------------------------------
+# Analytic separable TV: the smoothness term in O(g^2) instead of O(g^3)
+# ---------------------------------------------------------------------------
+
+def _tv_dir(dA, dB, C, lA, lB, dl):
+    """One axis direction of the factorized TV sum.
+
+    The axis-difference of a VM level on a separable lattice is
+        d[i, m, n] = dA[i, m] * lA[n] + dB[i, n] * lB[m] + C[m, n] * dl[i]
+    (i = diff axis, m/n = the other two). sum(d^2) expands into six
+    terms, each a product/contraction of 2-D and 1-D sums — O(g^2)
+    work, no g^3 volume. All arrays carry a trailing F axis.
+    """
+    t11 = jnp.einsum("imf,imf->f", dA, dA) * jnp.einsum("nf,nf->f", lA, lA)
+    t22 = jnp.einsum("inf,inf->f", dB, dB) * jnp.einsum("mf,mf->f", lB, lB)
+    t33 = jnp.einsum("mnf,mnf->f", C, C) * jnp.einsum("if,if->f", dl, dl)
+    u = jnp.einsum("imf,mf->if", dA, lB)
+    v = jnp.einsum("inf,nf->if", dB, lA)
+    t12 = jnp.einsum("if,if->f", u, v)
+    w = jnp.einsum("mnf,nf->mf", C, lA)
+    t13 = jnp.einsum("if,imf,mf->f", dl, dA, w)
+    z = jnp.einsum("mnf,mf->nf", C, lB)
+    t23 = jnp.einsum("if,inf,nf->f", dl, dB, z)
+    return jnp.sum(t11 + t22 + t33 + 2.0 * (t12 + t13 + t23))
+
+
+def _plane_grid_twohot(spec: TP.TriPlaneSpec, planes: jnp.ndarray,
+                       axes: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear plane grids on the separable lattice as PURE MATMULS:
+    A_s = U_s @ table_s @ V_s^T with U/V the per-axis two-hot hat
+    matrices ([g, r+1], fused iota producers). Numerically equal to the
+    gathered bilinear grid; forward AND autodiff backward are fused MXU
+    contractions — zero gathers, zero serial scatter, no Pallas. The
+    right evaluation path whenever the point set is a separable lattice
+    (the smoothness grid): g^2 outputs against r^2 table rows is
+    matmul-shaped, not gather-shaped. Returns [S, g, g, F]."""
+    ax = jnp.clip(axes, 0.0, 1.0)
+    out = []
+    for lvl in range(spec.pyr_levels):
+        r = spec.resolutions[3 * lvl]
+        r1 = r + 1
+        tabs, us, vs = [], [], []
+        for s_mod in range(3):
+            s = 3 * lvl + s_mod
+            ua, va = TP._PLANES[s_mod]
+            res = jnp.asarray(r, axes.dtype)
+            us.append(_two_hot(ax[ua] * res, r1, axes.dtype))   # [g, r1]
+            vs.append(_two_hot(ax[va] * res, r1, axes.dtype))
+            tabs.append(planes[spec.offsets[s]:spec.offsets[s]
+                               + spec.sizes[s]].reshape(r1, r1, -1))
+        A = jnp.einsum("sgu,suvf,shv->sghf", jnp.stack(us),
+                       jnp.stack(tabs), jnp.stack(vs))
+        out.append(A)
+    return jnp.concatenate(out, axis=0)                         # [S, g, g, F]
+
+
+def make_tensovm_lattice_tv(spec: TP.TriPlaneSpec, fast: bool = True,
+                            interpret: bool = False):
+    """tv(params, axes [3, g], sample_points) -> scalar; numerically
+    identical to ops/losses.smoothness_tv over the lattice encode, but
+    computed from the factorization directly: per (level, direction)
+    six O(g^2) contractions of the plane grids and line values. The
+    g^3 feature volume (and its backward) never exists, and the plane
+    grids come from the two-hot matmul form — the whole term is a
+    handful of fused MXU contractions (no gathers, no Pallas; `fast`/
+    `interpret` kept for signature compatibility, the path is identical
+    on every backend).
+
+    Level feature on the lattice: F = A0[i,j] b0[k] + A1[i,k] b1[j]
+    + A2[j,k] b2[i] (sections 3l+0/1/2 with lines along z/y/x,
+    reference smoothness semantics coslam.py:251-274)."""
+    del fast, interpret
+
+    def tv(params, axes, sample_points):
+        pf = _plane_grid_twohot(spec, params["planes"], axes)  # [S,g,g,F]
+        lv = _lattice_line_vals(spec, params["lines"], axes)
+        total = 0.0
+        for lvl in range(spec.pyr_levels):
+            A0, A1, A2 = pf[3 * lvl], pf[3 * lvl + 1], pf[3 * lvl + 2]
+            b0, b1, b2 = (lv[3 * lvl], lv[3 * lvl + 1], lv[3 * lvl + 2])
+            dx0 = A0[1:] - A0[:-1]                       # d/di [g-1, j, F]
+            dx1 = A1[1:] - A1[:-1]                       # d/di [g-1, k, F]
+            dy0 = (A0[:, 1:] - A0[:, :-1]).transpose(1, 0, 2)  # [g-1(j), i, F]
+            dy2 = A2[1:] - A2[:-1]                       # d/dj [g-1, k, F]
+            dz1 = (A1[:, 1:] - A1[:, :-1]).transpose(1, 0, 2)  # [g-1(k), i, F]
+            dz2 = (A2[:, 1:] - A2[:, :-1]).transpose(1, 0, 2)  # [g-1(k), j, F]
+            total = total + _tv_dir(dx0, dx1, A2, b0, b1, b2[1:] - b2[:-1])
+            total = total + _tv_dir(dy0, dy2, A1, b0, b2, b1[1:] - b1[:-1])
+            total = total + _tv_dir(dz1, dz2, A0, b1, b2, b0[1:] - b0[:-1])
+        return total / (sample_points ** 3)
+
+    return tv

@@ -71,6 +71,45 @@ def test_dx_matches_oracle():
     np.testing.assert_allclose(d_fast, d_ref, rtol=1e-4, atol=1e-4)
 
 
+def test_multipass_big_hash_level():
+    """A hashed level bigger than one VMEM accumulator pass (hash_size
+    18 -> 262k rows) must still produce exact dtable via the disjoint
+    multi-pass + shifted-add unpack."""
+    spec = HP.make_packed_spec(128, log2_hashmap_size=18, n_levels=2,
+                               base_resolution=48)
+    assert any(s > HP._MAX_GROUP_ROWS for s in spec.sizes)
+    key = jax.random.PRNGKey(8)
+    table = jax.random.normal(key, (spec.total_entries, spec.n_features))
+    x = jax.random.uniform(jax.random.PRNGKey(9), (97, 3))
+    g = jax.random.normal(jax.random.PRNGKey(10), (97, spec.out_dim))
+    enc = HP.make_packed_encode(spec, compute_dtype=jnp.float32,
+                                interpret=True)
+    d_fast = jax.grad(lambda t: jnp.sum(enc(t, x) * g))(table)
+    d_ref = jax.grad(lambda t: jnp.sum(
+        HP.packed_encode_fwd_only(spec, t, x) * g))(table)
+    np.testing.assert_allclose(d_fast, d_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_multipass_big_dense_level():
+    """A dense level bigger than one accumulator pass (r=56 -> 176k
+    cell rows) must go through the dense multi-pass."""
+    spec = HP.make_packed_spec(56, log2_hashmap_size=18, n_levels=1,
+                               base_resolution=56)
+    from coslam_tpu.ops.serial_scatter import MAX_ROWS
+    assert spec.hashed == (False,)
+    assert spec.resolutions[0] ** 3 > MAX_ROWS
+    key = jax.random.PRNGKey(11)
+    table = jax.random.normal(key, (spec.total_entries, spec.n_features))
+    x = jax.random.uniform(jax.random.PRNGKey(12), (65, 3))
+    g = jax.random.normal(jax.random.PRNGKey(13), (65, spec.out_dim))
+    enc = HP.make_packed_encode(spec, compute_dtype=jnp.float32,
+                                interpret=True)
+    d_fast = jax.grad(lambda t: jnp.sum(enc(t, x) * g))(table)
+    d_ref = jax.grad(lambda t: jnp.sum(
+        HP.packed_encode_fwd_only(spec, t, x) * g))(table)
+    np.testing.assert_allclose(d_fast, d_ref, rtol=1e-4, atol=1e-5)
+
+
 def test_cell_storage_roundtrip():
     """Every (cell, corner) is reachable at the right lane."""
     spec = _dense_spec()
