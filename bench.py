@@ -79,7 +79,7 @@ def main():
     # current-frame quota is max(2048//100, 100)=100 rays, so the small
     # fixed block applies (mirrors CoSLAM.global_BA's dispatch).
     ba = make_ba_step(model, cfg, map_tx, num_kf, rays_per_kf, rays_per_kf,
-                      maxcur=256)
+                      maxcur=128)
 
     def _sync_scalar(out):
         """Force execution to completion by fetching ONE scalar derived
@@ -157,7 +157,7 @@ def main():
             vparams = vmodel.init_params(jax.random.PRNGKey(0))
             vopt = map_tx.init(vparams)
             vba = make_ba_step(vmodel, vcfg, map_tx, num_kf, rays_per_kf,
-                               rays_per_kf, maxcur=256)
+                               rays_per_kf, maxcur=128)
             ba_variant_ms[impl] = round(time_fn(
                 lambda: vba(vparams, vopt, kf_rays, kf_count, kf_poses,
                             cur_pose, cur_rays, key)[4], n_warmup=1,
@@ -182,7 +182,7 @@ def main():
             topt = map_tx.init(tparams)
             ttrack = make_tracking_step(tmodel, tcfg)
             tba = make_ba_step(tmodel, tcfg, map_tx, num_kf, rays_per_kf,
-                               rays_per_kf, maxcur=256)
+                               rays_per_kf, maxcur=128)
             alt_enc[enc_name] = (
                 time_fn(lambda: ttrack(tparams, c2w_init, track_rays,
                                        key)[1]),
@@ -195,16 +195,17 @@ def main():
     tri_track_ms, tri_ba_ms = alt_enc["TriPlaneHybrid"]
 
     # Flagship operating point (configs/Replica/room0_vm.yaml): TensoVM
-    # + TPU-tuned 16-sample uniform stratum.
+    # + 3-level pyramid + TPU-tuned 16-sample uniform stratum.
     fcfg = copy.deepcopy(cfg)
     fcfg["grid"]["enc"] = "TensoVM"
+    fcfg["grid"]["triplane_levels"] = 3
     fcfg["training"]["n_samples_d"] = 16
     fmodel = JointEncoding(fcfg, bb)
     fparams = fmodel.init_params(jax.random.PRNGKey(0))
     fopt = map_tx.init(fparams)
     ftrack = make_tracking_step(fmodel, fcfg)
     fba = make_ba_step(fmodel, fcfg, map_tx, num_kf, rays_per_kf,
-                       rays_per_kf, maxcur=256)
+                       rays_per_kf, maxcur=128)
     flag_track_ms = time_fn(lambda: ftrack(fparams, c2w_init, track_rays,
                                            key)[1])
     flag_ba_ms = time_fn(lambda: fba(fparams, fopt, kf_rays, kf_count,

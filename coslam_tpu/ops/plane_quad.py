@@ -208,6 +208,113 @@ def cell_scatter_grad(spec: TP.TriPlaneSpec, cu: jnp.ndarray,
     return jnp.concatenate(parts, axis=0)
 
 
+def _mm_level_grad(r: int, u: jnp.ndarray, v: jnp.ndarray,
+                   g: jnp.ndarray) -> jnp.ndarray:
+    """Table gradient of one pyramid level's 3 plane sections as MXU
+    matmuls (ZERO serial issues): dT[s,i,j,f] = sum_n hu[s,n,i] *
+    hv[s,n,j] * g[s,n,f] computed as a two-step contraction — the
+    [S, N, r1, F] inner product E = hv * g is a fused elementwise
+    producer of one batched dot over n. u/v [3, N] scaled in-cell
+    coords (cu + wu), g [3, N, F] -> [3, r1, r1, F] f32.
+
+    Matches the bilinear corner weights exactly: hu[n, cu] = 1 - wu,
+    hu[n, cu + 1] = wu and 0 elsewhere, so the dot reproduces the four
+    corner updates the cell-RMW kernel would apply (f32 accumulation,
+    different summation order only).
+    """
+    r1 = r + 1
+    s, n = u.shape
+    f = g.shape[-1]
+    j = jnp.arange(r1, dtype=u.dtype)
+    hu = jnp.maximum(0.0, 1.0 - jnp.abs(u[..., None] - j))   # [3, N, r1]
+    hv = jnp.maximum(0.0, 1.0 - jnp.abs(v[..., None] - j))
+    e = hv[:, :, :, None] * g[:, :, None, :]                 # [3, N, r1, F]
+    dt = jax.lax.dot_general(hu, e.reshape(s, n, r1 * f),
+                             (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    return dt.reshape(s, r1, r1, f)
+
+
+# Levels with r <= the rcut take the matmul table-grad: the serial
+# kernel's per-update issue cost is flat in r while the matmul scales as
+# N*r1*F inner-product traffic + N*r1^2*F MXU FLOPs (A/B-tuned on the
+# full BA cycle; COSLAM_MM_RCUT overrides at trace time).
+_MM_RCUT = 128
+
+
+def _mm_rcut() -> int:
+    import os
+    return int(os.environ.get("COSLAM_MM_RCUT", _MM_RCUT))
+
+
+def quad_table_grad(spec: TP.TriPlaneSpec, cu, cv, wu, wv, gs,
+                    interpret: bool = False,
+                    mm_rcut: int = None) -> jnp.ndarray:
+    """Full plane-table gradient [Tp, F] f32 from per-section cell
+    coords/weights ([S, N] each) and cotangents gs [F, S, N].
+
+    Pyramid levels with r <= mm_rcut go through the batched two-hot
+    matmul (_mm_level_grad, no serial issues); finer levels through the
+    cell-RMW serial kernel (cell_scatter_grad)."""
+    F = spec.n_features
+    if mm_rcut is None:
+        mm_rcut = _mm_rcut()
+    mm_levels = [l for l in range(spec.pyr_levels)
+                 if spec.resolutions[3 * l] <= mm_rcut]
+    sc_sections = [s for s in range(spec.n_levels)
+                   if spec.resolutions[s] > mm_rcut]
+
+    sec_grads = [None] * spec.n_levels
+    for l in mm_levels:
+        sl = slice(3 * l, 3 * l + 3)
+        r = spec.resolutions[3 * l]
+        u = cu[sl].astype(gs.dtype) + wu[sl]
+        v = cv[sl].astype(gs.dtype) + wv[sl]
+        g3 = gs[:, sl].transpose(1, 2, 0)                    # [3, N, F]
+        dt = _mm_level_grad(r, u, v, g3)                     # [3,r1,r1,F]
+        for s_mod in range(3):
+            sec_grads[3 * l + s_mod] = dt[s_mod].reshape(-1, F)
+
+    if sc_sections:
+        w00 = (1 - wu) * (1 - wv)
+        w01 = (1 - wu) * wv
+        w10 = wu * (1 - wv)
+        w11 = wu * wv
+        streams = []
+        for w in (w00, w01, w10, w11):
+            for f in range(F):
+                streams.append(gs[f] * w)
+        sub = _section_subset(spec, sc_sections)
+        dsub = cell_scatter_grad(sub, cu[jnp.array(sc_sections)],
+                                 cv[jnp.array(sc_sections)],
+                                 [st[jnp.array(sc_sections)]
+                                  for st in streams], interpret)
+        off = 0
+        for s in sc_sections:
+            sec_grads[s] = dsub[off:off + spec.sizes[s]]
+            off += spec.sizes[s]
+
+    return jnp.concatenate(sec_grads, axis=0)
+
+
+def _section_subset(spec: TP.TriPlaneSpec, sections) -> TP.TriPlaneSpec:
+    """A TriPlaneSpec view over a subset of sections (for routing only
+    those sections through the scatter accumulator). Offsets are
+    recomputed densely; pyr_levels is a fiction (unused by
+    cell_scatter_grad beyond iteration bounds)."""
+    res = tuple(spec.resolutions[s] for s in sections)
+    sizes = tuple(spec.sizes[s] for s in sections)
+    offs, off = [], 0
+    for sz in sizes:
+        offs.append(off)
+        off += sz
+    return TP.TriPlaneSpec(
+        pyr_levels=len(sections), n_levels=len(sections),
+        n_features=spec.n_features, resolutions=res, offsets=tuple(offs),
+        sizes=sizes, row_offsets=spec.row_offsets, n_rows=spec.n_rows,
+        total_entries=off, total_rows=spec.total_rows)
+
+
 # ---------------------------------------------------------------------------
 # Separable-lattice plane grids with the cell-RMW backward (custom VJP)
 # ---------------------------------------------------------------------------
@@ -343,17 +450,7 @@ def make_plane_sections_quad(spec: TP.TriPlaneSpec,
             dx = dx.at[b].add(jnp.sum(dv[s_mod::3], axis=0))
         dx = dx.T * ((x >= 0.0) & (x <= 1.0)).astype(x.dtype)
 
-        # Corner streams in accumulator lane order (c00 f.., c01 f..,
-        # c10 f.., c11 f..).
-        w00 = (1 - wu) * (1 - wv)
-        w01 = (1 - wu) * wv
-        w10 = wu * (1 - wv)
-        w11 = wu * wv
-        streams = []
-        for w in (w00, w01, w10, w11):
-            for f in range(F):
-                streams.append(gs[f] * w)
-        dplanes = cell_scatter_grad(spec, cu, cv, streams, interpret)
+        dplanes = quad_table_grad(spec, cu, cv, wu, wv, gs, interpret)
         return dplanes, dx
 
     plane_sections.defvjp(fwd, bwd)

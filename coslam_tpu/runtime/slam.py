@@ -102,8 +102,11 @@ class CoSLAM:
         # the dynamic quota fits in a much smaller fixed block (halves the
         # BA ray count vs always padding to `sample`).
         sample = config["mapping"]["sample"]
+        # Round the block up to the 128-lane register width; the dispatch
+        # threshold below guarantees the dynamic quota fits, so a tighter
+        # block is exact (it only trims masked padding rows).
         self._ba_maxcur_small = max(
-            256, int(config["mapping"]["min_pixels_cur"]))
+            128, -(-int(config["mapping"]["min_pixels_cur"]) // 128) * 128)
         self._ba_small_min_kf = -(-sample // self._ba_maxcur_small)  # ceil
         if self.mesh is not None:  # total BA batch must split over 'dp'
             n_dev = self.mesh.devices.size
