@@ -53,6 +53,8 @@ def main():
         cfg["grid"]["enc"] = os.environ["ENC"]
     if os.environ.get("SAMPLES_D"):
         cfg["training"]["n_samples_d"] = int(os.environ["SAMPLES_D"])
+    if os.environ.get("TRIPLANE_LEVELS"):
+        cfg["grid"]["triplane_levels"] = int(os.environ["TRIPLANE_LEVELS"])
     bb = np.array(cfg["mapping"]["bound"], np.float32)
     model = JointEncoding(cfg, bb)
     key = jax.random.PRNGKey(0)
