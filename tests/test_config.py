@@ -35,3 +35,25 @@ def test_repo_configs_load():
     tum = load_config(os.path.join(CONFIGS, "Tum", "fr1_desk.yaml"))
     assert tum["dataset"] == "tum"
     assert tum["training"]["n_importance"] == 128
+
+
+def test_flagship_config_builds():
+    """configs/Replica/room0_vm.yaml (the bench.py headline operating
+    point) must load through the inherit chain and build a working
+    3-level TensoVM model."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from coslam_tpu.models.scene_rep import JointEncoding
+
+    cfg = load_config(os.path.join(CONFIGS, "Replica", "room0_vm.yaml"))
+    assert cfg["grid"]["enc"] == "TensoVM"
+    assert cfg["grid"]["triplane_levels"] == 3
+    assert cfg["training"]["n_samples_d"] == 16
+    model = JointEncoding(cfg, np.array(cfg["mapping"]["bound"],
+                                        np.float32))
+    params = model.init_params(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (17, 3),
+                           minval=-1.0, maxval=1.0)
+    sdf = model.query_sdf(params, x)
+    assert sdf.shape == (17,) and bool(jnp.all(jnp.isfinite(sdf)))

@@ -101,3 +101,22 @@ def test_tensovm_quad_equals_pair(spec):
     for a, b in zip(jax.tree_util.tree_leaves(gq),
                     jax.tree_util.tree_leaves(gp)):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("mm_rcut", [0, 48, 1024])
+def test_quad_table_grad_rcut_invariant(spec, table, mm_rcut):
+    """The MM-vs-serial routing threshold must not change the numbers:
+    rcut=0 routes every section through the cell-RMW serial kernel,
+    rcut=1024 routes every section through the two-hot matmul, and
+    rcut=48 exercises the mixed split the flagship pyramid
+    (32/96/287 at the default rcut 128) actually runs."""
+    n = 129
+    x = _pts(n, seed=8)
+    g = jax.random.normal(jax.random.PRNGKey(10),
+                          (spec.n_features, spec.n_levels, n))
+    cu, cv, wu, wv = PQ._cell_project(spec, x)
+    d_ref = jax.grad(lambda t: jnp.sum(
+        VM.plane_sections_fwd_only(spec, t, x) * g))(table)
+    d = PQ.quad_table_grad(spec, cu, cv, wu, wv, g, interpret=True,
+                           mm_rcut=mm_rcut)
+    np.testing.assert_allclose(d, d_ref, rtol=1e-4, atol=1e-5)
