@@ -161,7 +161,7 @@ def main():
             ba_variant_ms[impl] = round(time_fn(
                 lambda: vba(vparams, vopt, kf_rays, kf_count, kf_poses,
                             cur_pose, cur_rays, key)[4], n_warmup=1,
-                n_iter=3), 2)
+                n_iter=2), 2)
         except Exception as e:  # variant may not compile on this backend
             ba_variant_ms[impl] = f"error: {type(e).__name__}"
 
@@ -208,9 +208,11 @@ def main():
                        rays_per_kf, maxcur=128)
     flag_track_ms = time_fn(lambda: ftrack(fparams, c2w_init, track_rays,
                                            key)[1])
+    # Headline measurement: extra warmup + longer window (the 5-iter
+    # window showed ~10% run-to-run spread on this chip).
     flag_ba_ms = time_fn(lambda: fba(fparams, fopt, kf_rays, kf_count,
                                      kf_poses, cur_pose, cur_rays, key)[4],
-                         n_warmup=1, n_iter=5)
+                         n_warmup=2, n_iter=10)
 
     # Headline = the flagship operating point (configs/Replica/
     # room0_vm.yaml) — the framework's shipped TPU configuration for

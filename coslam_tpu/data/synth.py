@@ -223,6 +223,143 @@ def make_scan_trajectory(n: int, deg_per_frame: float = 1.5) -> np.ndarray:
     return np.stack(poses).astype(np.float32)
 
 
+def make_handheld_trajectory(n: int, seed: int = 0,
+                             deg_per_frame: float = 1.0) -> np.ndarray:
+    """[n, 4, 4] TUM-style handheld trajectory: a desk-orbit base path
+    with hand tremor and jerky attention shifts.
+
+    The TUM RGB-D sequences (fr1_desk etc.) are hard to track because
+    the camera is hand-held: mean angular velocity ~23 deg/s (~0.8
+    deg/frame at 30 Hz) with jerk spikes, positional tremor, and roll.
+    This trajectory reproduces those statistics on the analytic room:
+    a slow inward orbit (the fr1_desk "around the desk" motion) plus
+    band-limited jitter on eye, look-at, and roll from incommensurate
+    sinusoids and a seeded random walk. Angular steps average ~1
+    deg/frame with peaks ~2.5x the mean — beyond the const-speed
+    prediction, so tracking has to do real work every frame."""
+    rng = np.random.default_rng(seed)
+    # Band-limited random walk: integrate white noise, then smooth with
+    # a short box filter — energy concentrated at a few Hz, like tremor.
+    def tremor(scale: float, smooth: int = 5) -> np.ndarray:
+        w = np.cumsum(rng.normal(size=(n + smooth, 3)), axis=0)
+        w = np.stack([np.convolve(w[:, k], np.ones(smooth) / smooth,
+                                  mode="valid") for k in range(3)], -1)
+        w = w[:n] - w[:n].mean(axis=0)
+        return (scale * w / max(np.abs(w).max(), 1e-9)).astype(np.float32)
+
+    eye_j = tremor(0.035)          # ~cm-scale positional tremor
+    tgt_j = tremor(0.11, smooth=3) # jerky attention shifts (rotation)
+    roll_j = tremor(0.06, smooth=4)[:, 0]  # radians of roll wobble
+
+    poses = []
+    for i in range(n):
+        th = np.deg2rad(deg_per_frame) * i
+        eye = np.array([1.2 * np.cos(th),
+                        0.30 + 0.18 * np.sin(0.83 * th + 0.4),
+                        1.2 * np.sin(th)]) + eye_j[i]
+        target = np.array([0.4 * np.cos(0.57 * th + 2.1),
+                           -0.8 + 0.45 * np.sin(0.37 * th),
+                           0.4 * np.sin(0.57 * th + 2.1)]) + tgt_j[i]
+        up = np.array([np.sin(roll_j[i]), np.cos(roll_j[i]), 0.0])
+        poses.append(_look_at(eye, target, up=up))
+    return np.stack(poses).astype(np.float32)
+
+
+def add_kinect_noise(depth: np.ndarray, rng: np.random.Generator,
+                     sigma0: float = 0.0012, sigma_quad: float = 0.0019,
+                     hole_grad: float = 0.05,
+                     speckle_frac: float = 0.015) -> np.ndarray:
+    """Kinect-like sensor corruption of an exact depth map [H, W] (m).
+
+    Three effects, matching the structured-light error model
+    (Khoshelham & Elberink 2012) that the TUM RGB-D sensor exhibits:
+    axial Gaussian noise with quadratic-in-z sigma; dropout at depth
+    discontinuities / grazing surfaces (screen-space depth-gradient
+    threshold — where the projected pattern decorrelates); and random
+    speckle dropout blobs (low-frequency thresholded noise field).
+    ``hole_grad`` is meters-per-pixel at a 640-wide image and is scaled
+    by the actual width, so the hole geometry is resolution-invariant
+    (per-pixel gradients grow as 1/W for a fixed field of view).
+    Invalid pixels get depth 0.0 — the TUM loader convention, which the
+    SLAM loop's valid-depth masks and ``rgb_missing`` weighting handle
+    (reference model/scene_rep.py:319-321)."""
+    z = depth.astype(np.float32)
+    sigma = sigma0 + sigma_quad * np.square(np.maximum(z - 0.4, 0.0))
+    noisy = z + rng.normal(size=z.shape).astype(np.float32) * sigma
+
+    gy, gx = np.gradient(z)
+    holes = np.hypot(gx, gy) > hole_grad * (640.0 / z.shape[1])
+
+    h8, w8 = max(z.shape[0] // 24, 2), max(z.shape[1] // 24, 2)
+    field = rng.normal(size=(h8, w8)).astype(np.float32)
+    import cv2
+
+    field = cv2.resize(field, (z.shape[1], z.shape[0]),
+                       interpolation=cv2.INTER_CUBIC)
+    holes |= field > np.quantile(field, 1.0 - speckle_frac)
+
+    noisy[holes] = 0.0
+    return np.maximum(noisy, 0.0)
+
+
+def write_tum_format(datadir: str, scene: AnalyticScene, poses: np.ndarray,
+                     H: int, W: int, fx: float, fy: float, cx: float,
+                     cy: float, png_depth_scale: float = 5000.0,
+                     fps: float = 30.0, depth_noise: bool = True,
+                     seed: int = 0) -> None:
+    """Render ``poses`` and write the TUM RGB-D on-disk layout:
+    rgb/<t>.png + depth/<t>.png + rgb.txt / depth.txt / groundtruth.txt
+    (reference datasets/dataset.py:601-786). Exercises the real TUM
+    loader end-to-end: timestamps carry per-stream jitter (rgb/depth
+    offset ~8 ms) so the loader's association step does real matching,
+    and groundtruth.txt stores quaternion+translation rows in the
+    OpenCV convention the loader converts back from.
+
+    ``depth_noise`` applies :func:`add_kinect_noise` at write time with
+    a per-frame seed, so rendering stays deterministic and resumable."""
+    import cv2
+    from scipy.spatial.transform import Rotation
+
+    rng_t = np.random.default_rng(seed + 977)
+    os.makedirs(os.path.join(datadir, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(datadir, "depth"), exist_ok=True)
+    rgb_lines, depth_lines, gt_lines = [], [], []
+    for i, c2w in enumerate(poses):
+        t_rgb = i / fps + abs(float(rng_t.normal()) * 1e-3)
+        t_depth = t_rgb + 0.008 + float(rng_t.normal()) * 2e-3
+        t_gt = t_rgb + float(rng_t.normal()) * 1e-3
+        rgb_rel = f"rgb/{t_rgb:.6f}.png"
+        depth_rel = f"depth/{t_depth:.6f}.png"
+        rgb_path = os.path.join(datadir, rgb_rel)
+        depth_path = os.path.join(datadir, depth_rel)
+        if not (os.path.exists(rgb_path) and os.path.exists(depth_path)):
+            rgb, depth = render_frame(scene, c2w, H, W, fx, fy, cx, cy)
+            if depth_noise:
+                depth = add_kinect_noise(
+                    depth, np.random.default_rng(seed * 100003 + i))
+            bgr = cv2.cvtColor((rgb * 255).astype(np.uint8),
+                               cv2.COLOR_RGB2BGR)
+            cv2.imwrite(rgb_path, bgr)
+            d16 = np.clip(depth * png_depth_scale, 0, 65535).astype(np.uint16)
+            cv2.imwrite(depth_path, d16)
+        rgb_lines.append(f"{t_rgb:.6f} {rgb_rel}")
+        depth_lines.append(f"{t_depth:.6f} {depth_rel}")
+        # The loader flips y/z columns to OpenGL after the quaternion
+        # conversion (_opengl); store the OpenCV-convention pose.
+        cv = np.array(c2w, np.float64)
+        cv[:3, 1] *= -1
+        cv[:3, 2] *= -1
+        q = Rotation.from_matrix(cv[:3, :3]).as_quat()  # x y z w
+        t = cv[:3, 3]
+        gt_lines.append(f"{t_gt:.6f} " + " ".join(
+            f"{v:.6f}" for v in (*t, *q)))
+    for name, lines in (("rgb.txt", rgb_lines), ("depth.txt", depth_lines),
+                        ("groundtruth.txt", gt_lines)):
+        with open(os.path.join(datadir, name), "w") as f:
+            f.write(f"# synthetic TUM-format sequence\n"
+                    + "\n".join(lines) + "\n")
+
+
 # ---------------------------------------------------------------------------
 # Serialization + config
 # ---------------------------------------------------------------------------
@@ -272,6 +409,51 @@ def make_synthetic_config(datadir: str, output: str, H: int = 40,
                           exp_name: str = "synth") -> Dict:
     """Full Co-SLAM config for the analytic scene (same schema as
     configs/Replica/replica.yaml, sized for small images and CPU tests)."""
+    return _base_synth_config(datadir, output, H, W, n_frames, exp_name)
+
+
+def make_tum_synthetic_config(datadir: str, output: str, H: int = 480,
+                              W: int = 640, n_frames: int = 500,
+                              exp_name: str = "synth_tum",
+                              tuned: bool = True) -> Dict:
+    """TUM-recipe config for the TUM-format synthetic handheld protocol.
+
+    Starts from the analytic-room schema and applies the reference's TUM
+    training recipe (configs/Tum/tum.yaml, reference evaluation TUM
+    protocol): 20-iteration BA over 2048 rays, first_iters 1000,
+    rgb_weight 1 / sdf_weight 5000 / trunc 0.05, lr_rot/lr_trans 0.01
+    tracking over 1024 rays, range_d 0.25 with n_range_d 21. With
+    ``tuned`` (default) the sampling stack is the TPU-tuned operating
+    point shipped as configs/Tum/fr1_desk_vm.yaml: TensoVM encoding and
+    the importance stage replaced by a 32-sample uniform stratum
+    (n_importance 0) — see README "TUM protocol". With ``tuned=False``
+    it is the reference recipe verbatim (HashGrid, 64 uniform + 128
+    importance samples) for head-to-head runs."""
+    cfg = _base_synth_config(datadir, output, H, W, n_frames, exp_name)
+    cfg["dataset"] = "tum"
+    cfg["cam"].update(png_depth_scale=5000.0, depth_trunc=8.0)
+    cfg["mapping"].update(sample=2048, iters=20, first_iters=1000,
+                          min_pixels_cur=100)
+    cfg["tracking"].update(iter=10, sample=1024, lr_rot=0.01,
+                           lr_trans=0.01, ignore_edge_W=20,
+                           ignore_edge_H=20, best=False)
+    cfg["training"].update(rgb_weight=1.0, depth_weight=0.1,
+                           sdf_weight=5000, fs_weight=10,
+                           smooth_weight=1e-8, smooth_pts=64,
+                           smooth_vox=0.04, smooth_margin=0.0,
+                           range_d=0.25, n_range_d=21, trunc=0.05,
+                           rgb_missing=1.0)
+    cfg["grid"].update(hash_size=16, voxel_color=0.04, voxel_sdf=0.02)
+    if tuned:
+        cfg["grid"].update(enc="TensoVM", triplane_levels=3)
+        cfg["training"].update(n_samples_d=32, n_importance=0)
+    else:
+        cfg["training"].update(n_samples_d=64, n_importance=128)
+    return cfg
+
+
+def _base_synth_config(datadir: str, output: str, H: int, W: int,
+                       n_frames: int, exp_name: str) -> Dict:
     fx = 0.8 * W
     return {
         "dataset": "replica",

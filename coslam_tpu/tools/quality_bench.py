@@ -23,6 +23,17 @@ def main(argv=None):
     p.add_argument("--hw", type=str, default="120x160")
     p.add_argument("--out", default=None)
     p.add_argument("--workdir", default=None)
+    p.add_argument("--protocol", default="replica",
+                   choices=["replica", "tum"],
+                   help="'replica': smooth scan trajectory, exact depth, "
+                        "Replica on-disk layout + recipe. 'tum': handheld "
+                        "jerky trajectory, Kinect-style depth noise + "
+                        "holes, TUM on-disk layout (exercises the TUM "
+                        "loader's timestamp association) + the TUM "
+                        "training recipe at the TPU-tuned operating "
+                        "point (configs/Tum/fr1_desk_vm.yaml); "
+                        "--set training.n_importance=128 etc. recovers "
+                        "the reference recipe")
     p.add_argument("--dagger", action="store_true",
                    help="the reference's dagger protocol: double tracking "
                         "iterations + best-pose selection (configs/"
@@ -51,8 +62,10 @@ def main(argv=None):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import numpy as np
 
-    from ..data.synth import (AnalyticScene, make_scan_trajectory,
-                              make_synthetic_config, write_replica_format)
+    from ..data.synth import (AnalyticScene, make_handheld_trajectory,
+                              make_scan_trajectory, make_synthetic_config,
+                              make_tum_synthetic_config, write_replica_format,
+                              write_tum_format)
     from ..eval.benchmark import run_benchmark
     from ..mesh.io import TriMesh
     from ..mesh.mcubes import marching_cubes
@@ -60,14 +73,18 @@ def main(argv=None):
     H, W = (int(v) for v in args.hw.split("x"))
     work = args.workdir or tempfile.mkdtemp(prefix="coslam_quality_")
     datadir = os.path.join(work, "scene")
-    cfg = make_synthetic_config(datadir, os.path.join(work, "out"),
-                                H=H, W=W, n_frames=args.frames)
-    cfg["mapping"]["first_iters"] = 500
-    cfg["mapping"]["sample"] = 2048
-    cfg["tracking"]["sample"] = 1024
-    cfg["tracking"]["iter"] = 15
-    cfg["tracking"]["lr_rot"] = 0.004
-    cfg["tracking"]["lr_trans"] = 0.004
+    if args.protocol == "tum":
+        cfg = make_tum_synthetic_config(datadir, os.path.join(work, "out"),
+                                        H=H, W=W, n_frames=args.frames)
+    else:
+        cfg = make_synthetic_config(datadir, os.path.join(work, "out"),
+                                    H=H, W=W, n_frames=args.frames)
+        cfg["mapping"]["first_iters"] = 500
+        cfg["mapping"]["sample"] = 2048
+        cfg["tracking"]["sample"] = 1024
+        cfg["tracking"]["iter"] = 15
+        cfg["tracking"]["lr_rot"] = 0.004
+        cfg["tracking"]["lr_trans"] = 0.004
     cfg["mesh"]["vis"] = 0
     cfg["mesh"]["voxel_final"] = 0.05
     if args.dagger:
@@ -90,11 +107,17 @@ def main(argv=None):
         cfg.setdefault(sec, {})[key] = val
 
     scene = AnalyticScene()
-    poses = make_scan_trajectory(args.frames)
     cam = cfg["cam"]
     print(f"rendering {args.frames} frames at {H}x{W}...", flush=True)
-    write_replica_format(datadir, scene, poses, cam["H"], cam["W"],
-                         cam["fx"], cam["fy"], cam["cx"], cam["cy"])
+    if args.protocol == "tum":
+        poses = make_handheld_trajectory(args.frames)
+        write_tum_format(datadir, scene, poses, cam["H"], cam["W"],
+                         cam["fx"], cam["fy"], cam["cx"], cam["cy"],
+                         png_depth_scale=cam["png_depth_scale"])
+    else:
+        poses = make_scan_trajectory(args.frames)
+        write_replica_format(datadir, scene, poses, cam["H"], cam["W"],
+                             cam["fx"], cam["fy"], cam["cx"], cam["cy"])
 
     # Analytic GT mesh.
     n = 128
@@ -109,6 +132,7 @@ def main(argv=None):
     res = run_benchmark(cfg, gt_mesh_path=gt_path,
                         culling=args.culling, n_eval_views=50)
     res["culling"] = args.culling
+    res["protocol"] = args.protocol
     res["n_frames"] = args.frames
     res["resolution"] = f"{H}x{W}"
     res["dagger"] = bool(args.dagger)
