@@ -31,11 +31,21 @@ def init_mlp(key, dims: Sequence[int], dtype=jnp.float32) -> List[jnp.ndarray]:
     return ws
 
 
-def mlp_apply(ws: Sequence[jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
-    """ReLU MLP, no activation on the output layer."""
+def mlp_apply(ws: Sequence[jnp.ndarray], x: jnp.ndarray,
+              compute_dtype=jnp.float32) -> jnp.ndarray:
+    """ReLU MLP, no activation on the output layer.
+
+    compute_dtype=bfloat16 streams activations/weights at half width
+    (master weights stay f32; every dot accumulates in f32 via
+    preferred_element_type, so only the activation stream is rounded).
+    Output is always f32."""
+    x = x.astype(compute_dtype)
     for w in ws[:-1]:
-        x = jax.nn.relu(jnp.dot(x, w, preferred_element_type=jnp.float32))
-    return jnp.dot(x, ws[-1], preferred_element_type=jnp.float32)
+        x = jax.nn.relu(jnp.dot(x, w.astype(compute_dtype),
+                                preferred_element_type=jnp.float32)
+                        ).astype(compute_dtype)
+    return jnp.dot(x, ws[-1].astype(compute_dtype),
+                   preferred_element_type=jnp.float32)
 
 
 def _decoder_dims(config: Dict) -> Dict:
@@ -66,6 +76,11 @@ class ColorSDFDecoder:
                  input_ch_color: int = 0, one_grid: bool = True):
         d = _decoder_dims(config)
         self.one_grid = one_grid
+        # decoder.dtype: 'float32' (default) | 'bfloat16' — activation/
+        # weight stream width inside the MLPs (f32 accumulation either
+        # way; params and outputs stay f32).
+        self.compute_dtype = jnp.dtype(
+            config["decoder"].get("dtype", "float32"))
         self.geo_feat_dim = d["geo_feat_dim"]
         self.sdf_dims = _layer_dims(input_ch + input_ch_pos, d["hidden_dim"],
                                     1 + d["geo_feat_dim"], d["num_layers"])
@@ -83,10 +98,10 @@ class ColorSDFDecoder:
         }
 
     def sdf_net(self, params: Dict, x: jnp.ndarray) -> jnp.ndarray:
-        return mlp_apply(params["sdf_net"], x)
+        return mlp_apply(params["sdf_net"], x, self.compute_dtype)
 
     def color_net(self, params: Dict, x: jnp.ndarray) -> jnp.ndarray:
-        return mlp_apply(params["color_net"], x)
+        return mlp_apply(params["color_net"], x, self.compute_dtype)
 
     def __call__(self, params: Dict, embed: jnp.ndarray,
                  embed_pos: jnp.ndarray, embed_color=None) -> jnp.ndarray:
