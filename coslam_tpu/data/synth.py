@@ -32,6 +32,9 @@ class AnalyticScene:
     a capped cylinder. ``sdf`` is an exact signed distance (positive in
     free space), which sphere tracing and SDF-supervised losses rely on."""
 
+    # Metric AABB enclosing all surfaces (used to build GT-mesh grids).
+    bound = np.array([[-2.2, 2.2], [-2.2, 2.2], [-2.2, 2.2]], np.float32)
+
     sphere_c = np.array([0.7, -1.35, 0.55], np.float32)
     sphere_r = 0.6
     box_c = np.array([-1.1, -1.5, -0.6], np.float32)
@@ -123,6 +126,143 @@ class AnalyticScene:
         lam = np.maximum((self.normal(p) * light).sum(-1), 0.0)
         rgb = self.albedo(p) * (0.55 + 0.45 * lam)[..., None]
         return np.clip(rgb, 0.0, 1.0).astype(np.float32)
+
+
+def _box_interior(p: np.ndarray, c: np.ndarray, half: np.ndarray
+                  ) -> np.ndarray:
+    """Signed distance of an axis-aligned box INTERIOR (positive inside,
+    exact inside — the free-space convention AnalyticScene.room uses)."""
+    return (half - np.abs(p - c)).min(axis=-1)
+
+
+class AnalyticApartment(AnalyticScene):
+    """ScanNet-class scene: TWO rooms joined by a doorway, six textured
+    objects. Free space is the union of the two room interiors and the
+    door opening (max of interior SDFs: a conservative-but-exact-zero-set
+    distance bound, which is all sphere tracing and marching cubes
+    need); the walls between/around are solid. Apartment span is 8.3 m
+    along x — 2x the single room — so trajectories must traverse a
+    doorway bottleneck and the map must hold two visually distinct
+    rooms, the regime the reference's ScanNet benchmark stresses
+    (multi-room apartment scans, evaluation/benchmark/scannet).
+
+    ``normal``/``shade`` are inherited (they only consume sdf/albedo)."""
+
+    bound = np.array([[-4.3, 4.3], [-2.1, 2.1], [-2.7, 2.7]], np.float32)
+
+    room_a = np.array([-2.15, 0.0, 0.0], np.float32)
+    room_b = np.array([2.15, 0.0, 0.0], np.float32)
+    room_half = np.array([2.0, 2.0, 2.5], np.float32)
+    door_c = np.array([0.0, -0.6, 0.7], np.float32)
+    door_half = np.array([0.6, 1.35, 0.6], np.float32)
+
+    # Room A furniture (the single-room trio, moved into room A).
+    sphere_c = np.array([-2.8, -1.35, 0.55], np.float32)
+    sphere_r = 0.6
+    box_c = np.array([-3.2, -1.5, -1.2], np.float32)
+    box_half = np.array([0.45, 0.5, 0.45], np.float32)
+    box_round = 0.04
+    cyl_c = np.array([-1.2, -1.3, -1.6], np.float32)
+    cyl_r = 0.35
+    cyl_h = 0.7
+    # Room B furniture.
+    torus_c = np.array([2.6, -1.55, 1.2], np.float32)
+    torus_R = 0.55
+    torus_r = 0.22
+    ward_c = np.array([3.55, -1.0, -1.8], np.float32)
+    ward_half = np.array([0.4, 1.0, 0.35], np.float32)
+    sph2_c = np.array([1.2, -1.55, -1.7], np.float32)
+    sph2_r = 0.4
+
+    def _parts(self, p: np.ndarray) -> Tuple[np.ndarray, ...]:
+        walls = np.maximum(
+            np.maximum(_box_interior(p, self.room_a, self.room_half),
+                       _box_interior(p, self.room_b, self.room_half)),
+            _box_interior(p, self.door_c, self.door_half))
+
+        sph = np.linalg.norm(p - self.sphere_c, axis=-1) - self.sphere_r
+
+        q = np.abs(p - self.box_c) - (self.box_half - self.box_round)
+        box = (np.linalg.norm(np.maximum(q, 0.0), axis=-1)
+               + np.minimum(q.max(axis=-1), 0.0) - self.box_round)
+
+        pc = p - self.cyl_c
+        dxz = np.sqrt(pc[..., 0] ** 2 + pc[..., 2] ** 2) - self.cyl_r
+        dy = np.abs(pc[..., 1]) - self.cyl_h
+        cyl = (np.minimum(np.maximum(dxz, dy), 0.0)
+               + np.sqrt(np.maximum(dxz, 0.0) ** 2
+                         + np.maximum(dy, 0.0) ** 2))
+
+        pt = p - self.torus_c
+        ring = np.sqrt(pt[..., 0] ** 2 + pt[..., 2] ** 2) - self.torus_R
+        torus = np.sqrt(ring ** 2 + pt[..., 1] ** 2) - self.torus_r
+
+        qw = np.abs(p - self.ward_c) - (self.ward_half - self.box_round)
+        ward = (np.linalg.norm(np.maximum(qw, 0.0), axis=-1)
+                + np.minimum(qw.max(axis=-1), 0.0) - self.box_round)
+
+        sph2 = np.linalg.norm(p - self.sph2_c, axis=-1) - self.sph2_r
+        return walls, sph, box, cyl, torus, ward, sph2
+
+    def sdf(self, p: np.ndarray) -> np.ndarray:
+        parts = self._parts(np.asarray(p, np.float32))
+        out = parts[0]
+        for d in parts[1:]:
+            out = np.minimum(out, d)
+        return out
+
+    def albedo(self, p: np.ndarray) -> np.ndarray:
+        p = np.asarray(p, np.float32)
+        parts = self._parts(p)
+        which = np.argmin(np.stack(parts, axis=-1), axis=-1)
+
+        px, py, pz = p[..., 0], p[..., 1], p[..., 2]
+        tex = (0.5 + 0.26 * np.sin(4.7 * px + 1.3) * np.sin(3.9 * py + 0.7)
+               + 0.16 * np.sin(2.9 * pz + 1.1 * px)
+               + 0.10 * np.sin(6.53 * (px + py + pz))
+               + 0.08 * np.sin(23.7 * px + 17.3 * pz + 5.1 * py)
+               + 0.06 * np.sin(12.9 * py + 19.1 * pz + 2.0))
+        tex = np.clip(tex, 0.05, 1.0)[..., None]
+        # Face hue relative to the nearer room's center (normalized by
+        # the half-size so floor/ceiling/side walls classify correctly),
+        # with room B's palette rotated — global which-room cue.
+        in_b = (px > 0.0)
+        rc = np.where(in_b[..., None], self.room_b, self.room_a)
+        rel = (p - rc) / self.room_half
+        face = np.argmax(np.abs(rel), axis=-1)
+        neg = np.take_along_axis(rel, face[..., None], -1)[..., 0] < 0
+        hues = np.array([[0.85, 0.50, 0.45], [0.50, 0.75, 0.55],
+                         [0.80, 0.80, 0.58], [0.55, 0.55, 0.62],
+                         [0.48, 0.58, 0.80], [0.75, 0.58, 0.75]])
+        idx = (face * 2 + neg + 3 * in_b) % 6
+        wall = hues[idx] * (0.40 + 0.60 * tex)
+
+        bands = 0.5 + 0.5 * np.sin(12.0 * py)
+        sphere = np.stack([0.75 + 0.2 * bands, 0.25 + 0.2 * bands,
+                           0.20 + 0.1 * bands], axis=-1)
+        stripes = 0.5 + 0.5 * np.sin(9.0 * (px + pz))
+        boxc = np.stack([0.20 + 0.15 * stripes, 0.65 + 0.25 * stripes,
+                         0.25 + 0.1 * stripes], axis=-1)
+        ang = np.arctan2(pz - self.cyl_c[2], px - self.cyl_c[0])
+        spin = 0.5 + 0.5 * np.sin(6.0 * ang)
+        cylc = np.stack([0.20 + 0.1 * spin, 0.30 + 0.2 * spin,
+                         0.70 + 0.25 * spin], axis=-1)
+        angt = np.arctan2(pz - self.torus_c[2], px - self.torus_c[0])
+        tspin = 0.5 + 0.5 * np.sin(8.0 * angt + 4.0 * py)
+        torc = np.stack([0.70 + 0.2 * tspin, 0.55 + 0.15 * tspin,
+                         0.20 + 0.1 * tspin], axis=-1)
+        wstripes = 0.5 + 0.5 * np.sin(11.0 * py + 5.0 * pz)
+        wardc = np.stack([0.45 + 0.2 * wstripes, 0.30 + 0.1 * wstripes,
+                          0.15 + 0.1 * wstripes], axis=-1)
+        checks = 0.5 + 0.5 * np.sin(10.0 * px) * np.sin(10.0 * py)
+        sph2c = np.stack([0.25 + 0.1 * checks, 0.60 + 0.2 * checks,
+                          0.60 + 0.25 * checks], axis=-1)
+
+        w = which[..., None]
+        out = np.select([w == 0, w == 1, w == 2, w == 3, w == 4, w == 5,
+                         w == 6],
+                        [wall, sphere, boxc, cylc, torc, wardc, sph2c])
+        return out.astype(np.float32)
 
 
 def render_frame(scene: AnalyticScene, c2w: np.ndarray, H: int, W: int,
@@ -265,6 +405,165 @@ def make_handheld_trajectory(n: int, seed: int = 0,
     return np.stack(poses).astype(np.float32)
 
 
+def make_walkthrough_trajectory(n: int, seed: int = 0) -> np.ndarray:
+    """[n, 4, 4] ScanNet-style apartment walkthrough for
+    :class:`AnalyticApartment`: orbit room A, traverse the doorway,
+    orbit room B — with handheld tremor throughout.
+
+    The doorway transit is the hard part this protocol exists for: the
+    camera sees a narrow opening with little parallax, then enters a
+    room it has never mapped (the reference's ScanNet sequences are
+    multi-room apartment scans with exactly this structure and its ATE
+    there is 4-12 cm vs <1 cm on Replica). Phases are joined with a
+    smoothing filter so velocities stay continuous, and the path is
+    asserted to stay in free space by the tests."""
+    rng = np.random.default_rng(seed)
+
+    # Constant handheld rates; COVERAGE scales with n (a 60-frame clip
+    # is a partial room-A orbit; the door transit and room B need
+    # n >= 160 — full two-room coverage needs ~800 frames, matching the
+    # multi-thousand-frame real ScanNet scans).
+    orbit_rate = np.deg2rad(1.2)            # rad/frame
+    if n < 160:
+        n_a, n_t, n_b = n, 0, 0
+    else:
+        n_t = 63                            # 2.5 m at ~4 cm/frame
+        n_a = (n - n_t) // 2
+        n_b = n - n_t - n_a
+    a_c = AnalyticApartment.room_a
+    b_c = AnalyticApartment.room_b
+
+    door = AnalyticApartment.door_c
+    p0 = np.array([-1.25, 0.05, door[2]], np.float32)  # transit endpoints
+    p1 = np.array([1.25, 0.05, door[2]], np.float32)
+
+    def yaw_pitch(d):
+        d = d / max(np.linalg.norm(d), 1e-9)
+        return (float(np.arctan2(d[2], d[0])),
+                float(np.arcsin(np.clip(d[1], -1.0, 1.0))))
+
+    def gaze_schedule(d_from, d_to):
+        """Fixed yaw/pitch turn schedule between two view directions.
+        Computed ONCE per phase (not per frame): re-deriving the turn
+        from a wandering from-target flips the rotation plane near
+        180-degree turns and whips the camera."""
+        y0, p0_ = yaw_pitch(d_from)
+        y1, p1_ = yaw_pitch(d_to)
+        dyaw = (y1 - y0 + np.pi) % (2 * np.pi) - np.pi
+        return lambda t: np.array(
+            [np.cos(p0_ + t * (p1_ - p0_)) * np.cos(y0 + t * dyaw),
+             np.sin(p0_ + t * (p1_ - p0_)),
+             np.cos(p0_ + t * (p1_ - p0_)) * np.sin(y0 + t * dyaw)],
+            np.float32)
+
+    eyes, tgts = [], []
+    # Phase A: inward orbit of room A, parameterized to END exactly at
+    # the transit start p0; the look-at ramps from room-center wander to
+    # the door over the last third so the 180-degree turn is gradual.
+    ahead_vec = np.array([1.5, -0.3, 0.0], np.float32)
+
+    rel0 = p0 - a_c
+    th_end = float(np.arctan2(rel0[2], rel0[0]))
+    r_a = float(np.hypot(rel0[0], rel0[2]))
+    ang_a = min(2.6 * np.pi, orbit_rate * n_a)
+
+    def eye_wander_a(u):
+        th = th_end + ang_a * (u - 1.0)
+        h = p0[1] + (0.2 + 0.15 * np.sin(0.7 * th)) * (1 - u)
+        eye = np.array([a_c[0] + r_a * np.cos(th), h,
+                        a_c[2] + r_a * np.sin(th)], np.float32)
+        wander = a_c + np.array([0.35 * np.cos(0.57 * th + 2.0), -0.9,
+                                 0.35 * np.sin(0.57 * th + 2.0)],
+                                np.float32)
+        return eye, wander
+
+    # Door turn needs >= ~50 frames to stay at handheld rates; clips
+    # with no transit (n_t == 0) never turn toward the door.
+    turn_a = min(max(45, int(0.33 * n_a)), max(n_a - 1, 1))
+    u_turn = 1.0 - turn_a / max(n_a - 1, 1) if n_t else 2.0
+    e_t, w_t = eye_wander_a(u_turn)
+    sched_a = gaze_schedule(w_t - e_t, ahead_vec)
+    for i in range(n_a):
+        u = i / max(n_a - 1, 1)
+        eye, wander = eye_wander_a(u)
+        eyes.append(eye)
+        if u <= u_turn:
+            tgts.append(wander)
+        else:  # turn toward the door over the final stretch
+            s = (u - u_turn) / (1.0 - u_turn)
+            s = s * s * (3 - 2 * s)
+            tgts.append(eye + 1.5 * sched_a(s))
+    # Phase T: straight transit through the door center, looking ahead.
+    for i in range(n_t):
+        s = i / max(n_t - 1, 1)
+        s = s * s * (3 - 2 * s)  # smoothstep: ease in/out of the door
+        e = p0 + (p1 - p0) * s
+        eyes.append(e)
+        tgts.append(e + ahead_vec)  # look ahead +x
+    # Phase B: inward orbit of room B starting at the transit end p1;
+    # gaze turns from look-ahead to room-center wander over the first
+    # third.
+    rel1 = p1 - b_c
+    th0 = float(np.arctan2(rel1[2], rel1[0]))
+    r_b = float(np.hypot(rel1[0], rel1[2]))
+    ang_b = min(2.6 * np.pi, orbit_rate * n_b)
+
+    def eye_wander_b(u):
+        th = th0 + ang_b * u
+        h = p1[1] + (0.2 + 0.15 * np.sin(0.7 * th + 1.0)) * u
+        eye = np.array([b_c[0] + r_b * np.cos(th), h,
+                        b_c[2] + r_b * np.sin(th)], np.float32)
+        wander = b_c + np.array([0.35 * np.cos(0.57 * th + 0.5), -0.9,
+                                 0.35 * np.sin(0.57 * th + 0.5)],
+                                np.float32)
+        return eye, wander
+
+    turn_b = min(max(45, int(0.33 * n_b)), max(n_b - 1, 1))
+    u_turn_b = turn_b / max(n_b - 1, 1)
+    e_t, w_t = eye_wander_b(u_turn_b)
+    sched_b = gaze_schedule(ahead_vec, w_t - e_t)
+    for i in range(n_b):
+        u = i / max(n_b - 1, 1)
+        eye, wander = eye_wander_b(u)
+        eyes.append(eye)
+        if u >= u_turn_b:
+            tgts.append(wander)
+        else:
+            s = u / u_turn_b
+            s = s * s * (3 - 2 * s)
+            tgts.append(eye + 1.5 * sched_b(s))
+
+    eyes = np.asarray(eyes, np.float32)
+    tgts = np.asarray(tgts, np.float32)
+    # Join phases smoothly: box-filter each coordinate (edge-padded).
+    k = max(min(n // 40, 15), 1)
+    if k > 1:
+        pad = k // 2
+        for arr in (eyes, tgts):
+            ext = np.concatenate([np.repeat(arr[:1], pad, 0), arr,
+                                  np.repeat(arr[-1:], pad, 0)])
+            for c in range(3):
+                arr[:, c] = np.convolve(ext[:, c], np.ones(k) / k,
+                                        mode="valid")[:n]
+
+    # Handheld tremor (same statistics machinery as the TUM protocol).
+    def tremor(scale: float, smooth: int = 5) -> np.ndarray:
+        w = np.cumsum(rng.normal(size=(n + smooth, 3)), axis=0)
+        w = np.stack([np.convolve(w[:, c], np.ones(smooth) / smooth,
+                                  mode="valid") for c in range(3)], -1)
+        w = w[:n] - w[:n].mean(axis=0)
+        return (scale * w / max(np.abs(w).max(), 1e-9)).astype(np.float32)
+
+    eyes = eyes + tremor(0.03)
+    tgts = tgts + tremor(0.09, smooth=3)
+    roll = tremor(0.05, smooth=4)[:, 0]
+    poses = []
+    for e, t, r in zip(eyes, tgts, roll):
+        up = np.array([np.sin(r), np.cos(r), 0.0])
+        poses.append(_look_at(e, t, up=up))
+    return np.stack(poses).astype(np.float32)
+
+
 def add_kinect_noise(depth: np.ndarray, rng: np.random.Generator,
                      sigma0: float = 0.0012, sigma_quad: float = 0.0019,
                      hole_grad: float = 0.05,
@@ -360,6 +659,43 @@ def write_tum_format(datadir: str, scene: AnalyticScene, poses: np.ndarray,
                     + "\n".join(lines) + "\n")
 
 
+def write_scannet_format(datadir: str, scene: AnalyticScene,
+                         poses: np.ndarray, H: int, W: int, fx: float,
+                         fy: float, cx: float, cy: float,
+                         png_depth_scale: float = 1000.0,
+                         depth_noise: bool = True, seed: int = 0) -> None:
+    """Render ``poses`` and write the ScanNet on-disk layout:
+    color/<i>.jpg + depth/<i>.png (mm) + pose/<i>.txt (4x4 OpenCV
+    matrices, reference datasets/dataset.py:268-369). Exercises the real
+    ScanNet loader end-to-end (numeric-filename sort, per-frame pose
+    files, crop_edge intrinsics adjustment). The ScanNet sensor
+    (Structure, structured light like the Kinect) gets the same noise
+    model as the TUM writer; rendering is resumable like the others."""
+    import cv2
+
+    os.makedirs(os.path.join(datadir, "color"), exist_ok=True)
+    os.makedirs(os.path.join(datadir, "depth"), exist_ok=True)
+    os.makedirs(os.path.join(datadir, "pose"), exist_ok=True)
+    for i, c2w in enumerate(poses):
+        rgb_path = os.path.join(datadir, "color", f"{i}.jpg")
+        depth_path = os.path.join(datadir, "depth", f"{i}.png")
+        if not (os.path.exists(rgb_path) and os.path.exists(depth_path)):
+            rgb, depth = render_frame(scene, c2w, H, W, fx, fy, cx, cy)
+            if depth_noise:
+                depth = add_kinect_noise(
+                    depth, np.random.default_rng(seed * 100003 + i))
+            bgr = cv2.cvtColor((rgb * 255).astype(np.uint8),
+                               cv2.COLOR_RGB2BGR)
+            cv2.imwrite(rgb_path, bgr, [cv2.IMWRITE_JPEG_QUALITY, 97])
+            d16 = np.clip(depth * png_depth_scale, 0, 65535).astype(np.uint16)
+            cv2.imwrite(depth_path, d16)
+        # The loader flips y/z columns to OpenGL; store OpenCV.
+        cv_pose = np.array(c2w, np.float64)
+        cv_pose[:3, 1] *= -1
+        cv_pose[:3, 2] *= -1
+        np.savetxt(os.path.join(datadir, "pose", f"{i}.txt"), cv_pose)
+
+
 # ---------------------------------------------------------------------------
 # Serialization + config
 # ---------------------------------------------------------------------------
@@ -449,6 +785,52 @@ def make_tum_synthetic_config(datadir: str, output: str, H: int = 480,
         cfg["training"].update(n_samples_d=32, n_importance=0)
     else:
         cfg["training"].update(n_samples_d=64, n_importance=128)
+    return cfg
+
+
+def make_scannet_synthetic_config(datadir: str, output: str, H: int = 480,
+                                  W: int = 640, n_frames: int = 1000,
+                                  exp_name: str = "synth_scannet",
+                                  tuned: bool = True) -> Dict:
+    """ScanNet-recipe config for the apartment walkthrough protocol
+    (:class:`AnalyticApartment` + :func:`make_walkthrough_trajectory`).
+
+    Applies the reference's ScanNet training recipe
+    (configs/ScanNet/scannet.yaml): 2048-ray 10-it BA with optim_cur
+    off, rgb_weight 5 / sdf_weight 1000 / trunc 0.1, smooth_weight 1e-3
+    over 0.1 m voxels, quat pose tangents, crop_edge 10, mm depth PNGs —
+    with bounds covering the 8.6 m apartment. With ``tuned`` (default)
+    the encoder/sampling stack is the TPU operating point
+    (configs/ScanNet/scene0000_vm.yaml): TensoVM and a 32-sample uniform
+    stratum instead of the reference's 96 (same range-d concentration
+    argument as the TUM point — see README "TUM protocol").
+    ``tuned=False`` is the reference recipe verbatim (HashGrid
+    hash_size 19, n_samples_d 96)."""
+    cfg = _base_synth_config(datadir, output, H, W, n_frames, exp_name)
+    cfg["dataset"] = "scannet"
+    cfg["cam"].update(png_depth_scale=1000.0, crop_edge=10,
+                      depth_trunc=8.0, far=8)
+    b = AnalyticApartment.bound
+    cfg["mapping"].update(
+        sample=2048, iters=10, first_iters=500, optim_cur=False,
+        min_pixels_cur=20,
+        bound=[[float(lo - 0.3), float(hi + 0.3)] for lo, hi in b],
+        marching_cubes_bound=[[float(lo), float(hi)] for lo, hi in b])
+    cfg["tracking"].update(iter=10, sample=1024, lr_rot=0.001,
+                           lr_trans=0.001, ignore_edge_W=20,
+                           ignore_edge_H=20, best=True)
+    cfg["training"].update(rgb_weight=5.0, depth_weight=0.1,
+                           sdf_weight=1000, fs_weight=10,
+                           smooth_weight=0.001, smooth_pts=64,
+                           smooth_vox=0.1, smooth_margin=0.05,
+                           range_d=0.25, n_range_d=21, trunc=0.1,
+                           rot_rep="quat", rgb_missing=0.0)
+    cfg["grid"].update(hash_size=19, voxel_color=0.08, voxel_sdf=0.04)
+    if tuned:
+        cfg["grid"].update(enc="TensoVM", triplane_levels=3)
+        cfg["training"].update(n_samples_d=32)
+    else:
+        cfg["training"].update(n_samples_d=96)
     return cfg
 
 

@@ -24,7 +24,7 @@ def main(argv=None):
     p.add_argument("--out", default=None)
     p.add_argument("--workdir", default=None)
     p.add_argument("--protocol", default="replica",
-                   choices=["replica", "tum"],
+                   choices=["replica", "tum", "scannet"],
                    help="'replica': smooth scan trajectory, exact depth, "
                         "Replica on-disk layout + recipe. 'tum': handheld "
                         "jerky trajectory, Kinect-style depth noise + "
@@ -33,7 +33,10 @@ def main(argv=None):
                         "training recipe at the TPU-tuned operating "
                         "point (configs/Tum/fr1_desk_vm.yaml); "
                         "--set training.n_importance=128 etc. recovers "
-                        "the reference recipe")
+                        "the reference recipe. 'scannet': two-room "
+                        "apartment walkthrough (doorway traversal), "
+                        "sensor noise, ScanNet on-disk layout + recipe "
+                        "at the TPU-tuned operating point")
     p.add_argument("--dagger", action="store_true",
                    help="the reference's dagger protocol: double tracking "
                         "iterations + best-pose selection (configs/"
@@ -62,9 +65,13 @@ def main(argv=None):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import numpy as np
 
-    from ..data.synth import (AnalyticScene, make_handheld_trajectory,
-                              make_scan_trajectory, make_synthetic_config,
-                              make_tum_synthetic_config, write_replica_format,
+    from ..data.synth import (AnalyticApartment, AnalyticScene,
+                              make_handheld_trajectory, make_scan_trajectory,
+                              make_scannet_synthetic_config,
+                              make_synthetic_config,
+                              make_tum_synthetic_config,
+                              make_walkthrough_trajectory,
+                              write_replica_format, write_scannet_format,
                               write_tum_format)
     from ..eval.benchmark import run_benchmark
     from ..mesh.io import TriMesh
@@ -76,6 +83,10 @@ def main(argv=None):
     if args.protocol == "tum":
         cfg = make_tum_synthetic_config(datadir, os.path.join(work, "out"),
                                         H=H, W=W, n_frames=args.frames)
+    elif args.protocol == "scannet":
+        cfg = make_scannet_synthetic_config(
+            datadir, os.path.join(work, "out"), H=H, W=W,
+            n_frames=args.frames)
     else:
         cfg = make_synthetic_config(datadir, os.path.join(work, "out"),
                                     H=H, W=W, n_frames=args.frames)
@@ -106,7 +117,8 @@ def main(argv=None):
                 val = raw
         cfg.setdefault(sec, {})[key] = val
 
-    scene = AnalyticScene()
+    scene = AnalyticApartment() if args.protocol == "scannet" \
+        else AnalyticScene()
     cam = cfg["cam"]
     print(f"rendering {args.frames} frames at {H}x{W}...", flush=True)
     if args.protocol == "tum":
@@ -114,19 +126,28 @@ def main(argv=None):
         write_tum_format(datadir, scene, poses, cam["H"], cam["W"],
                          cam["fx"], cam["fy"], cam["cx"], cam["cy"],
                          png_depth_scale=cam["png_depth_scale"])
+    elif args.protocol == "scannet":
+        poses = make_walkthrough_trajectory(args.frames)
+        write_scannet_format(datadir, scene, poses, cam["H"], cam["W"],
+                             cam["fx"], cam["fy"], cam["cx"], cam["cy"],
+                             png_depth_scale=cam["png_depth_scale"])
     else:
         poses = make_scan_trajectory(args.frames)
         write_replica_format(datadir, scene, poses, cam["H"], cam["W"],
                              cam["fx"], cam["fy"], cam["cx"], cam["cy"])
 
-    # Analytic GT mesh.
-    n = 128
-    ax = np.linspace(-2.2, 2.2, n).astype(np.float32)
-    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+    # Analytic GT mesh over the scene's bound (~3.4 cm grid spacing,
+    # the single-room protocol's historical 128-point resolution).
+    spacing = 4.4 / 127
+    lo = scene.bound[:, 0]
+    axes = [np.linspace(l, h, int(round((h - l) / spacing)) + 1
+                        ).astype(np.float32) for l, h in scene.bound]
+    X, Y, Z = np.meshgrid(*axes, indexing="ij")
     sdf = scene.sdf(np.stack([X, Y, Z], -1)).astype(np.float32)
-    v, f = marching_cubes(sdf, 0.0, truncation=3.0)
+    v, f = marching_cubes(sdf, 0.0, truncation=5.0)
+    sp = np.array([ax[1] - ax[0] for ax in axes], np.float32)
     gt_path = os.path.join(work, "gt.ply")
-    TriMesh(v * (4.4 / (n - 1)) - 2.2, f).export(gt_path)
+    TriMesh(v * sp[None, :] + lo[None, :], f).export(gt_path)
 
     print("running SLAM...", flush=True)
     res = run_benchmark(cfg, gt_mesh_path=gt_path,

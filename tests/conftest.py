@@ -84,6 +84,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long end-to-end protocol runs")
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
