@@ -18,7 +18,7 @@ loader and the full CLI path run on synthetic scenes unchanged.
 from __future__ import annotations
 
 import os
-from typing import Dict, Tuple
+from typing import Dict, Sequence, Tuple
 
 import numpy as np
 
@@ -696,6 +696,55 @@ def write_scannet_format(datadir: str, scene: AnalyticScene,
         np.savetxt(os.path.join(datadir, "pose", f"{i}.txt"), cv_pose)
 
 
+def write_rgbd_format(datadir: str, scene: AnalyticScene,
+                      poses: np.ndarray, H: int, W: int, fx: float,
+                      fy: float, cx: float, cy: float,
+                      png_depth_scale: float = 1000.0,
+                      depth_noise: bool = True, seed: int = 0,
+                      invalid: Sequence[int] = ()) -> None:
+    """Render ``poses`` and write the NeuralRGBD (SyntheticRGBD) on-disk
+    layout: images/img####.png + depth_filtered/depth####.png (mm) +
+    poses.txt with FOUR text lines per 4x4 matrix (reference
+    datasets/dataset.py:486-599). Poses are stored in OpenGL convention
+    as-is (the loader applies no column flips). Frame indices in
+    ``invalid`` get an all-nan pose block — the NeuralRGBD exporter
+    marks untracked frames this way and the loader must drop them
+    (dataset.py:529-533); their images are still written, keeping file
+    and pose indices aligned. NeuralRGBD's depth_filtered stream is a
+    denoised SIMULATED noisy depth, so the Kinect noise model applies
+    (without dropout holes: the filtered stream has none; the
+    SyntheticRGBD baseline depth-L1 of 3.02 cm reflects this residual
+    noise). Resumable like the other writers."""
+    import cv2
+
+    invalid = set(int(i) for i in invalid)
+    os.makedirs(os.path.join(datadir, "images"), exist_ok=True)
+    os.makedirs(os.path.join(datadir, "depth_filtered"), exist_ok=True)
+    lines = []
+    for i, c2w in enumerate(poses):
+        rgb_path = os.path.join(datadir, "images", f"img{i:04d}.png")
+        depth_path = os.path.join(datadir, "depth_filtered",
+                                  f"depth{i:04d}.png")
+        if not (os.path.exists(rgb_path) and os.path.exists(depth_path)):
+            rgb, depth = render_frame(scene, c2w, H, W, fx, fy, cx, cy)
+            if depth_noise:
+                depth = add_kinect_noise(
+                    depth, np.random.default_rng(seed * 100003 + i),
+                    hole_grad=np.inf, speckle_frac=0.0)
+            bgr = cv2.cvtColor((rgb * 255).astype(np.uint8),
+                               cv2.COLOR_RGB2BGR)
+            cv2.imwrite(rgb_path, bgr)
+            d16 = np.clip(depth * png_depth_scale, 0, 65535).astype(np.uint16)
+            cv2.imwrite(depth_path, d16)
+        if i in invalid:
+            lines.extend(["nan nan nan nan"] * 4)
+        else:
+            for row in np.asarray(c2w, np.float64):
+                lines.append(" ".join(f"{v:.10f}" for v in row))
+    with open(os.path.join(datadir, "poses.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
 # ---------------------------------------------------------------------------
 # Serialization + config
 # ---------------------------------------------------------------------------
@@ -831,6 +880,49 @@ def make_scannet_synthetic_config(datadir: str, output: str, H: int = 480,
         cfg["training"].update(n_samples_d=32)
     else:
         cfg["training"].update(n_samples_d=96)
+    return cfg
+
+
+def make_rgbd_synthetic_config(datadir: str, output: str, H: int = 480,
+                               W: int = 640, n_frames: int = 300,
+                               exp_name: str = "synth_rgbd",
+                               tuned: bool = True) -> Dict:
+    """SyntheticRGBD-recipe config for the NeuralRGBD-format protocol
+    (:class:`AnalyticScene` + :func:`make_scan_trajectory` +
+    :func:`write_rgbd_format`).
+
+    Applies the reference's SyntheticRGBD training recipe
+    (configs/Synthetic/synthetic.yaml): 2048-ray 10-it BA with optim_cur
+    on, lr_embed 0.001 (10x lower than Replica's), first_iters 200,
+    voxel_sdf 0.01, smooth_weight 1e-5 over 0.1 m voxels, 32+11 samples
+    with range_d 0.1, axis-angle pose tangents, rgb_missing 0.05 (the
+    simulated sensor's invalid-depth pixels still carry color). With
+    ``tuned`` (default) the encoder/sampling stack is the flagship TPU
+    operating point (TensoVM 3-level pyramid, 16-sample stratum —
+    configs/Replica/room0_vm.yaml rationale; the scene scale and sensor
+    match the Replica class). ``tuned=False`` is the reference recipe
+    verbatim (HashGrid hash_size 16)."""
+    cfg = _base_synth_config(datadir, output, H, W, n_frames, exp_name)
+    cfg["dataset"] = "synthetic"
+    cfg["cam"].update(png_depth_scale=1000.0, depth_trunc=8.0, far=5)
+    cfg["mapping"].update(sample=2048, iters=10, first_iters=200,
+                          lr_embed=0.001, optim_cur=True,
+                          min_pixels_cur=100)
+    cfg["tracking"].update(iter=10, sample=1024, lr_rot=0.001,
+                           lr_trans=0.001, ignore_edge_W=20,
+                           ignore_edge_H=20, best=True)
+    cfg["training"].update(rgb_weight=5.0, depth_weight=0.1,
+                           sdf_weight=1000, fs_weight=10,
+                           smooth_weight=1e-5, smooth_pts=32,
+                           smooth_vox=0.1, smooth_margin=0.05,
+                           range_d=0.1, n_range_d=11, trunc=0.1,
+                           rot_rep="axis_angle", rgb_missing=0.05)
+    cfg["grid"].update(hash_size=16, voxel_color=0.08, voxel_sdf=0.01)
+    if tuned:
+        cfg["grid"].update(enc="TensoVM", triplane_levels=3)
+        cfg["training"].update(n_samples_d=16)
+    else:
+        cfg["training"].update(n_samples_d=32)
     return cfg
 
 

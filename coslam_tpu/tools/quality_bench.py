@@ -24,7 +24,7 @@ def main(argv=None):
     p.add_argument("--out", default=None)
     p.add_argument("--workdir", default=None)
     p.add_argument("--protocol", default="replica",
-                   choices=["replica", "tum", "scannet"],
+                   choices=["replica", "tum", "scannet", "rgbd"],
                    help="'replica': smooth scan trajectory, exact depth, "
                         "Replica on-disk layout + recipe. 'tum': handheld "
                         "jerky trajectory, Kinect-style depth noise + "
@@ -36,7 +36,11 @@ def main(argv=None):
                         "the reference recipe. 'scannet': two-room "
                         "apartment walkthrough (doorway traversal), "
                         "sensor noise, ScanNet on-disk layout + recipe "
-                        "at the TPU-tuned operating point")
+                        "at the TPU-tuned operating point. 'rgbd': "
+                        "SyntheticRGBD — scan trajectory, residual "
+                        "simulated depth noise (no holes), NeuralRGBD "
+                        "on-disk layout (poses.txt with nan-pose "
+                        "filtering) + recipe")
     p.add_argument("--dagger", action="store_true",
                    help="the reference's dagger protocol: double tracking "
                         "iterations + best-pose selection (configs/"
@@ -66,13 +70,15 @@ def main(argv=None):
     import numpy as np
 
     from ..data.synth import (AnalyticApartment, AnalyticScene,
-                              make_handheld_trajectory, make_scan_trajectory,
+                              make_handheld_trajectory,
+                              make_rgbd_synthetic_config,
+                              make_scan_trajectory,
                               make_scannet_synthetic_config,
                               make_synthetic_config,
                               make_tum_synthetic_config,
                               make_walkthrough_trajectory,
-                              write_replica_format, write_scannet_format,
-                              write_tum_format)
+                              write_replica_format, write_rgbd_format,
+                              write_scannet_format, write_tum_format)
     from ..eval.benchmark import run_benchmark
     from ..mesh.io import TriMesh
     from ..mesh.mcubes import marching_cubes
@@ -85,6 +91,10 @@ def main(argv=None):
                                         H=H, W=W, n_frames=args.frames)
     elif args.protocol == "scannet":
         cfg = make_scannet_synthetic_config(
+            datadir, os.path.join(work, "out"), H=H, W=W,
+            n_frames=args.frames)
+    elif args.protocol == "rgbd":
+        cfg = make_rgbd_synthetic_config(
             datadir, os.path.join(work, "out"), H=H, W=W,
             n_frames=args.frames)
     else:
@@ -131,6 +141,11 @@ def main(argv=None):
         write_scannet_format(datadir, scene, poses, cam["H"], cam["W"],
                              cam["fx"], cam["fy"], cam["cx"], cam["cy"],
                              png_depth_scale=cam["png_depth_scale"])
+    elif args.protocol == "rgbd":
+        poses = make_scan_trajectory(args.frames)
+        write_rgbd_format(datadir, scene, poses, cam["H"], cam["W"],
+                          cam["fx"], cam["fy"], cam["cx"], cam["cy"],
+                          png_depth_scale=cam["png_depth_scale"])
     else:
         poses = make_scan_trajectory(args.frames)
         write_replica_format(datadir, scene, poses, cam["H"], cam["W"],
