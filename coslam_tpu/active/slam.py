@@ -95,26 +95,45 @@ class ActiveCoSLAM(CoSLAM):
         order = np.argsort(gains)[::-1]
         return [int(j) for j in order[:k]]
 
-    def _grow_train_set(self, train_ds, holdout, as_keyframes: bool,
-                        verbose: bool):
-        """Append the info-gain top-K of the next holdout window to the
-        train set and drop them from the pool; optionally insert them as
-        keyframes (reference ac_coslam.py:1106-1131)."""
-        wsize = min(10, len(holdout))
+    def _grow_train_set(self, train_ds, holdout, verbose: bool):
+        """Append the info-gain top-K of the next holdout window
+        (``check_info_gain_every`` frames; the reference's is 10) to the
+        train set, insert them as keyframes, and march the window
+        forward (reference ac_coslam.py:1106-1131).
+
+        Two ordering properties matter for tracking and are taken from
+        the reference: chosen indices are appended in TEMPORAL order
+        (the np.sort at ac_coslam.py:1103 — the constant-speed motion
+        model needs a forward-moving frame stream), and the candidate
+        window is LOCAL and marches with the video (the reference
+        anchors it to the current frame, dataset.slice(range(i-4,
+        i-4+10)) at ac_coslam.py:1060, advancing keyframe_every frames
+        per event) — holdout frames the window passes over without
+        being chosen are skipped for good. That subsetting is the
+        variant's point: it trains on an information-dense subsequence."""
+        wsize = min(int(self.config["active"]["check_info_gain_every"]),
+                    len(holdout))
         window = holdout.slice(range(wsize))
-        top = self.select_info_gain_indices(window)
+        top = sorted(self.select_info_gain_indices(window))
         chosen = window.slice(top)
         train_ds = train_ds + chosen
-        holdout = holdout.remove(top)
-        if as_keyframes:
-            existing = set(self.kf_db.frame_ids[:self.kf_db.count])
-            for j in range(len(chosen)):
-                cb = chosen[j]
-                if int(cb["frame_id"]) not in existing:
-                    self.add_keyframe(cb)
-                    if verbose:
-                        print(f"info-gain keyframe: {int(cb['frame_id'])} "
-                              f"(train set -> {len(train_ds)})")
+        # Consume the WHOLE window: unchosen frames are skipped for good,
+        # so the processed stream is strictly forward in time (leftovers
+        # chosen later would be tracked AFTER newer frames — backward
+        # jumps the constant-speed model extrapolates badly from).
+        holdout = holdout.slice(range(wsize, len(holdout)))
+        # Chosen frames become keyframes only once TRACKED: the BA pose
+        # table mirrors est_c2w at insertion (runtime/slam.py
+        # add_keyframe), so inserting a not-yet-tracked frame would hand
+        # BA an all-zero pose and poison the map. The reference inserts
+        # at selection time and reads poses the same way
+        # (coslam.py:298-310) — deferral is the correct ordering.
+        for j in range(len(chosen)):
+            fid = int(chosen[j]["frame_id"])
+            self._pending_kf.add(fid)
+            if verbose:
+                print(f"info-gain frame chosen: {fid} "
+                      f"(train set -> {len(train_ds)})")
         return train_ds, holdout
 
     def run(self, n_frames: Optional[int] = None, verbose: bool = True,
@@ -148,6 +167,7 @@ class ActiveCoSLAM(CoSLAM):
             holdout = self.dataset.slice([])
 
         processed = []  # frame ids in processing order (for pose init)
+        self._pending_kf = set()  # chosen, awaiting their tracked pose
         i = 0
         while i < len(train_ds):  # bound re-read each lap: the set grows
             batch = train_ds[i]
@@ -161,10 +181,37 @@ class ActiveCoSLAM(CoSLAM):
             prev = self.est_c2w[processed[-1]]
             prev_prev = (self.est_c2w[processed[-2]]
                          if len(processed) >= 2 else None)
+            # The subsequence has non-uniform frame gaps; rescale the
+            # constant-speed velocity by the id-gap ratio so skipping
+            # k video frames extrapolates k frames of motion.
+            if len(processed) >= 2:
+                g1 = processed[-1] - processed[-2]
+                gap_ratio = (fid - processed[-1]) / g1 if g1 else 1.0
+            else:
+                gap_ratio = 1.0
             c2w_init = predict_current_pose(prev, prev_prev,
-                                            cfg["tracking"]["const_speed"])
+                                            cfg["tracking"]["const_speed"],
+                                            gap_ratio=gap_ratio)
             self.tracking_render(batch, fid, c2w_init=c2w_init)
+            if fid - processed[-1] > 1:
+                # Gap frame (the selection skipped video frames): one
+                # refinement pass re-runs the same compiled tracking
+                # megastep from the first pass's pose — the doubled
+                # budget the reference's dagger protocol applies
+                # globally, spent only where the jump needs it.
+                self.tracking_render(batch, fid,
+                                     c2w_init=self.est_c2w[fid])
             processed.append(fid)
+            if fid in self._pending_kf:
+                # Deferred info-gain keyframe: the frame now has a
+                # tracked pose for the BA pose table.
+                self._pending_kf.discard(fid)
+                if fid not in set(
+                        int(f) for f in
+                        self.kf_db.frame_ids[:self.kf_db.count]):
+                    self.add_keyframe(batch)
+                    if verbose:
+                        print(f"info-gain keyframe: {fid}")
             if verbose:
                 loss, psnr, err = self._last_track_info
                 print(f"it: {i} (frame {fid}), loss: {loss:.5f}, "
@@ -176,11 +223,15 @@ class ActiveCoSLAM(CoSLAM):
             if i % cfg["mapping"]["keyframe_every"] == 0:
                 if (not active["isActive"]) or i <= init_image \
                         or len(holdout) == 0:
-                    self.add_keyframe(batch)
+                    # Cadence keyframe; a frame already chosen by
+                    # info-gain must not occupy a second DB slot.
+                    if fid not in set(
+                            int(f) for f in
+                            self.kf_db.frame_ids[:self.kf_db.count]):
+                        self.add_keyframe(batch)
                 else:
                     train_ds, holdout = self._grow_train_set(
-                        train_ds, holdout, as_keyframes=True,
-                        verbose=verbose)
+                        train_ds, holdout, verbose=verbose)
             if (active["isActive"] and len(holdout) > 0
                     and i == len(train_ds) - 1):
                 # Train set about to run dry: pull the next info-gain
@@ -188,7 +239,7 @@ class ActiveCoSLAM(CoSLAM):
                 # reference's i_end = len(train_dataset) re-derivation,
                 # ac_coslam.py:1172).
                 train_ds, holdout = self._grow_train_set(
-                    train_ds, holdout, as_keyframes=False, verbose=verbose)
+                    train_ds, holdout, verbose=verbose)
 
             if cfg["mesh"]["vis"] and i % cfg["mesh"]["vis"] == 0:
                 try:
@@ -199,11 +250,23 @@ class ActiveCoSLAM(CoSLAM):
 
         self.train_set_size = len(train_ds)  # final i_end (ac_coslam:1172)
         i = len(train_ds) - 1
+        try:
+            # Final mesh under the CoSLAM.run naming contract (indexed by
+            # the SEQUENCE's last frame) so eval/benchmark.py finds it.
+            self.save_mesh(total - 1, voxel_size=cfg["mesh"]["voxel_final"])
+        except Exception as e:
+            print(f"final mesh save failed: {e}")
         self.save_checkpoint(os.path.join(out, f"checkpoint{i}.npz"))
         results = None
         if eval_ate:
-            results = pose_evaluation(self.pose_gt, self._pose_dict(), 1,
-                                      out, i)
+            # The active loop trains on a SUBSEQUENCE; evaluate ATE over
+            # the processed frames only, remapped to contiguous keys
+            # (pose_evaluation walks a dense index range).
+            est = self._pose_dict()
+            ids = sorted(est.keys())
+            gt = {j: self.pose_gt[fid] for j, fid in enumerate(ids)}
+            est = {j: est[fid] for j, fid in enumerate(ids)}
+            results = pose_evaluation(gt, est, 1, out, i)
         return results
 
     def test(self, batch: Dict, frame_id: int) -> Dict:

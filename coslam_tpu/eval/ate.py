@@ -92,6 +92,10 @@ def evaluate_ate(first_list: Dict, second_list: Dict, plot: str = "",
                            for a, b in matches]).T
 
     rot, trans, trans_error = align(second_xyz, first_xyz)
+    # Unaligned error: both trajectories share the first-frame anchor,
+    # so this is the reference ScanNet tables' "w/o align" column
+    # (evaluation/benchmark/scannet/README.md reports both).
+    raw_error = np.linalg.norm(second_xyz - first_xyz, axis=0)
 
     if plot:
         _plot_trajectories(plot, first_list, second_list, matches, rot, trans,
@@ -106,6 +110,8 @@ def evaluate_ate(first_list: Dict, second_list: Dict, plot: str = "",
         "absolute_translational_error.std": float(np.std(trans_error)),
         "absolute_translational_error.min": float(np.min(trans_error)),
         "absolute_translational_error.max": float(np.max(trans_error)),
+        "absolute_translational_error.rmse_noalign":
+            float(np.sqrt(np.dot(raw_error, raw_error) / len(raw_error))),
     }
 
 

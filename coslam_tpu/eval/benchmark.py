@@ -51,13 +51,18 @@ def run_benchmark(config: Dict, gt_mesh_path: Optional[str] = None,
     if ate is not None:
         results["ate_rmse_cm"] = round(
             ate["absolute_translational_error.rmse"] * 100, 3)
+        results["ate_rmse_noalign_cm"] = round(
+            ate["absolute_translational_error.rmse_noalign"] * 100, 3)
     for phase in ("tracking", "mapping"):
         vals = slam.timings[phase][1:] or slam.timings[phase]
         if vals:
             results[f"{phase}_ms"] = round(float(np.mean(vals)), 2)
 
     if gt_mesh_path and os.path.exists(rec_mesh):
-        poses = [slam.est_c2w[i] for i in range(len(slam.est_c2w))]
+        # Skip never-tracked frames (all-zero slots — e.g. the frames an
+        # ActiveCoSLAM run's info-gain selection left out).
+        poses = [slam.est_c2w[i] for i in range(len(slam.est_c2w))
+                 if np.any(slam.est_c2w[i] != 0)]
         culled = rec_mesh.replace(".ply", "_culled.ply")
         bounds = np.array(config["mapping"]["marching_cubes_bound"])
         if culling == "coslam":

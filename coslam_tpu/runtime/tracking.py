@@ -176,15 +176,32 @@ def make_tracking_pc_step(model, config: Dict, mesh=None):
     return step
 
 
-def predict_current_pose(est_prev, est_prev_prev=None, constant_speed=True):
+def predict_current_pose(est_prev, est_prev_prev=None, constant_speed=True,
+                         gap_ratio: float = 1.0):
     """Constant-speed motion model init (reference coslam.py:399-413).
 
     Host-side numpy helper: with two previous poses, applies the last
     inter-frame delta; otherwise copies the previous pose.
+
+    ``gap_ratio`` extends the model to NON-UNIFORM frame spacing (the
+    ActiveCoSLAM loop tracks an info-gain subsequence, so consecutive
+    processed frames can be several video frames apart): the last
+    observed velocity is rescaled by (gap to the new frame) / (gap the
+    velocity was measured over) via the SE(3) delta's screw
+    parameterization (axis-angle rotation and translation scaled
+    together). gap_ratio=1 is exactly the reference model.
     """
     import numpy as np
 
     if est_prev_prev is None or not constant_speed:
         return np.array(est_prev, np.float32)
     delta = est_prev @ np.linalg.inv(est_prev_prev.astype(np.float64))
+    if gap_ratio != 1.0:
+        from scipy.spatial.transform import Rotation
+
+        rotvec = Rotation.from_matrix(delta[:3, :3]).as_rotvec()
+        scaled = np.eye(4)
+        scaled[:3, :3] = Rotation.from_rotvec(gap_ratio * rotvec).as_matrix()
+        scaled[:3, 3] = gap_ratio * delta[:3, 3]
+        delta = scaled
     return (delta @ est_prev).astype(np.float32)

@@ -45,6 +45,12 @@ def main(argv=None):
                    help="the reference's dagger protocol: double tracking "
                         "iterations + best-pose selection (configs/"
                         "Tum_dagger vs configs/Tum: iter 10->20, best on)")
+    p.add_argument("--active", action="store_true",
+                   help="run the ActiveCoSLAM research variant instead of "
+                        "the fixed keyframe cadence: uncertainty (beta) "
+                        "head + info-gain frame selection growing the "
+                        "train set (reference ActiveCoSLAM/active_tum.yaml "
+                        "active section defaults)")
     p.add_argument("--enc", default=None,
                    help="override grid.enc (e.g. TriPlane) to validate "
                         "alternative parametric encodings end-to-end")
@@ -108,6 +114,14 @@ def main(argv=None):
         cfg["tracking"]["lr_trans"] = 0.004
     cfg["mesh"]["vis"] = 0
     cfg["mesh"]["voxel_final"] = 0.05
+    if args.active:
+        # Reference proportions (ac_coslam.py:962 hardcodes init 200 of
+        # ~600-frame sequences, topK 1): a contiguous init segment, then
+        # a sparse info-gain tail — 2 of each 10-frame window.
+        cfg["active"] = {"isActive": True, "check_info_gain_every": 10,
+                         "init_image": max(10, args.frames // 2),
+                         "choose_k": 2, "w": 0.01,
+                         "downsample_rate": 2, "beta_min": 0.01}
     if args.dagger:
         cfg["tracking"]["iter"] *= 2
         cfg["tracking"]["best"] = True
@@ -165,9 +179,15 @@ def main(argv=None):
     TriMesh(v * sp[None, :] + lo[None, :], f).export(gt_path)
 
     print("running SLAM...", flush=True)
+    slam_cls = None
+    if args.active:
+        from ..active.slam import ActiveCoSLAM
+        slam_cls = ActiveCoSLAM
     res = run_benchmark(cfg, gt_mesh_path=gt_path,
-                        culling=args.culling, n_eval_views=50)
+                        culling=args.culling, n_eval_views=50,
+                        slam_cls=slam_cls)
     res["culling"] = args.culling
+    res["active"] = bool(args.active)
     res["protocol"] = args.protocol
     res["n_frames"] = args.frames
     res["resolution"] = f"{H}x{W}"

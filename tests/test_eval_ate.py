@@ -31,6 +31,11 @@ def test_evaluate_ate_with_noise(rng):
     res = evaluate_ate(gt, est)
     rmse = res["absolute_translational_error.rmse"]
     assert 0.001 < rmse < 0.03
+    # The "w/o align" column (reference ScanNet tables): the rigid
+    # offset stays in the error, so it dwarfs the aligned RMSE here.
+    assert res["absolute_translational_error.rmse_noalign"] > 0.5
+    exact = evaluate_ate(gt, {i: model[:, i] for i in range(model.shape[1])})
+    assert exact["absolute_translational_error.rmse_noalign"] < 1e-9
 
 
 def test_associate_offsets():

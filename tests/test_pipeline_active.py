@@ -82,6 +82,12 @@ def test_active_coslam(small_seq):
     assert np.isfinite(res["absolute_translational_error.rmse"])
     assert slam.kf_db.count >= 3  # 0, 5 (cadence) + info-gain picks
 
+    # Final mesh under the CoSLAM.run naming contract (sequence's last
+    # frame index) so eval/benchmark.py --active finds it.
+    import os
+    out = os.path.join(cfg["data"]["output"], cfg["data"]["exp_name"])
+    assert os.path.exists(os.path.join(out, "mesh_track11.ply"))
+
     # Uncertainty channel behaves: beta positive, test() returns uncert_map.
     batch = slam.dataset[5]
     ret = slam.test(batch, 5)
