@@ -15,7 +15,6 @@ frames); top-K selection happens on host.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional
 
 import jax
