@@ -45,6 +45,12 @@ def main(argv=None):
                    help="the reference's dagger protocol: double tracking "
                         "iterations + best-pose selection (configs/"
                         "Tum_dagger vs configs/Tum: iter 10->20, best on)")
+    p.add_argument("--pipelined", action="store_true",
+                   help="run the concurrent tracker/mapper pipeline "
+                        "(the coslam_mp.py-equivalent execution mode: "
+                        "two host threads, mapper owns params, tracker "
+                        "reads published snapshots) instead of the "
+                        "sequential runtime")
     p.add_argument("--active", action="store_true",
                    help="run the ActiveCoSLAM research variant instead of "
                         "the fixed keyframe cadence: uncertainty (beta) "
@@ -183,11 +189,15 @@ def main(argv=None):
     if args.active:
         from ..active.slam import ActiveCoSLAM
         slam_cls = ActiveCoSLAM
+    elif args.pipelined:
+        from ..runtime.pipeline import PipelinedCoSLAM
+        slam_cls = PipelinedCoSLAM
     res = run_benchmark(cfg, gt_mesh_path=gt_path,
                         culling=args.culling, n_eval_views=50,
                         slam_cls=slam_cls)
     res["culling"] = args.culling
     res["active"] = bool(args.active)
+    res["pipelined"] = bool(args.pipelined)
     res["protocol"] = args.protocol
     res["n_frames"] = args.frames
     res["resolution"] = f"{H}x{W}"
