@@ -169,3 +169,103 @@ def test_azure_format(tmp_path):
     ds = AzureDataset(cfg, str(root))
     assert len(ds) == n
     np.testing.assert_allclose(ds[2]["c2w"][:3, 3], [0, 0, 0.4], atol=1e-6)
+
+
+def test_realsense_format(tmp_path):
+    """align_mat.txt pre-multiplies the trajectory.log poses before the
+    OpenGL flip, and cam.crop_edge shrinks the camera model."""
+    from coslam_tpu.data.datasets import RealsenseDataset
+
+    H, W, n = 24, 32, 3
+    rng = np.random.default_rng(4)
+    root = tmp_path / "rs"
+    for sub in ("color", "depth", "scene"):
+        (root / sub).mkdir(parents=True)
+    align = np.eye(4)
+    align[:3, 3] = [0.5, 0.0, 0.0]
+    np.savetxt(str(root / "align_mat.txt"), align)
+    log_lines = []
+    for i in range(n):
+        _write_img_pair(str(root / "color"), str(root / "depth"), str(i),
+                        H, W, 1000.0, rng)
+        c2w = np.eye(4)
+        c2w[:3, 3] = [0, 0, 0.2 * i]
+        log_lines.append(f"{i} {i} {i + 1}")
+        for row in c2w:
+            log_lines.append(" ".join(str(v) for v in row))
+    (root / "scene" / "trajectory.log").write_text("\n".join(log_lines) + "\n")
+
+    cfg = _base_cfg(H, W, "realsense", extra_cam={"crop_edge": 2})
+    ds = RealsenseDataset(cfg, str(root))
+    assert len(ds) == n
+    b = ds[2]
+    assert b["rgb"].shape == (H - 4, W - 4, 3)      # crop_edge applied
+    assert b["direction"].shape == (H - 4, W - 4, 3)
+    # align @ pose, then y/z columns flipped to OpenGL.
+    np.testing.assert_allclose(b["c2w"][:3, 3], [0.5, 0, 0.4], atol=1e-6)
+    np.testing.assert_allclose(b["c2w"][:3, :3],
+                               np.diag([1.0, -1.0, -1.0]), atol=1e-6)
+
+
+def test_iphone_format(tmp_path):
+    """StrayScanner layout: images/ + depth/ + odometry.csv quaternion
+    poses (x y z qx qy qz qw after two leading columns)."""
+    from coslam_tpu.data.datasets import iPhoneDataset
+
+    H, W, n = 24, 32, 3
+    rng = np.random.default_rng(5)
+    root = tmp_path / "iphone"
+    (root / "images").mkdir(parents=True)
+    (root / "depth").mkdir()
+    rows = ["t, frame, x, y, z, qx, qy, qz, qw"]
+    q = Rotation.from_rotvec([0.0, 0.3, 0.0]).as_quat()  # xyzw
+    for i in range(n):
+        img = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(root / "images" / f"{i:06d}.png"), img)
+        d = (rng.uniform(0.5, 3.0, (H, W)) * 1000.0).astype(np.uint16)
+        cv2.imwrite(str(root / "depth" / f"{i:06d}.png"), d)
+        rows.append(f"{i * 0.1}, {i}, {0.1 * i}, 0.0, 0.0, "
+                    f"{q[0]}, {q[1]}, {q[2]}, {q[3]}")
+    (root / "odometry.csv").write_text("\n".join(rows) + "\n")
+
+    cfg = _base_cfg(H, W, "iphone")
+    ds = iPhoneDataset(cfg, str(root))
+    assert len(ds) == n
+    b = ds[1]
+    assert b["rgb"].shape == (H, W, 3)
+    np.testing.assert_allclose(b["c2w"][:3, 3], [0.1, 0, 0], atol=1e-6)
+    R_gl = Rotation.from_rotvec([0.0, 0.3, 0.0]).as_matrix() @ np.diag(
+        [1.0, -1.0, -1.0])
+    np.testing.assert_allclose(b["c2w"][:3, :3], R_gl, atol=1e-6)
+
+
+def test_iphone_mp4_extraction(tmp_path):
+    """rgb.mp4 is extracted to images/ on first load (StrayScanner's raw
+    capture layout). Skipped when no mp4 encoder is available."""
+    from coslam_tpu.data.datasets import iPhoneDataset
+
+    H, W, n = 24, 32, 4
+    rng = np.random.default_rng(6)
+    root = tmp_path / "iphone"
+    root.mkdir()
+    (root / "depth").mkdir()
+    vw = cv2.VideoWriter(str(root / "rgb.mp4"),
+                         cv2.VideoWriter_fourcc(*"mp4v"), 30.0, (W, H))
+    if not vw.isOpened():
+        pytest.skip("no mp4 encoder in this OpenCV build")
+    for i in range(n):
+        vw.write((rng.random((H, W, 3)) * 255).astype(np.uint8))
+        d = (rng.uniform(0.5, 3.0, (H, W)) * 1000.0).astype(np.uint16)
+        cv2.imwrite(str(root / "depth" / f"{i:06d}.png"), d)
+    vw.release()
+    rows = ["t, frame, x, y, z, qx, qy, qz, qw"]
+    for i in range(n):
+        rows.append(f"{i * 0.1}, {i}, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0")
+    (root / "odometry.csv").write_text("\n".join(rows) + "\n")
+
+    cfg = _base_cfg(H, W, "iphone")
+    ds = iPhoneDataset(cfg, str(root))
+    # The loader drops the mp4's final frame (StrayScanner writes one
+    # more video frame than odometry rows).
+    assert len(ds) == n - 1
+    assert ds[0]["rgb"].shape == (H, W, 3)
