@@ -58,9 +58,12 @@ def main(argv=None):
 
     slam = CoSLAM(cfg)
     slam.seed_everything(0)
+    start_frame = 0
     if args.ckpt:
-        slam.load_checkpoint(args.ckpt)
-    slam.run(n_frames=args.max_frames)
+        start_frame = slam.load_checkpoint(args.ckpt)
+        if start_frame:
+            print(f"resuming from frame {start_frame}")
+    slam.run(n_frames=args.max_frames, start_frame=start_frame)
 
 
 if __name__ == "__main__":

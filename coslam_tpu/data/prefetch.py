@@ -23,10 +23,11 @@ class PrefetchIterator:
     """
 
     def __init__(self, dataset, n_frames: Optional[int] = None,
-                 depth: int = 2):
+                 depth: int = 2, start: int = 0):
         self.dataset = dataset
         total = len(dataset)
         self.total = total if n_frames is None else min(n_frames, total)
+        self.start = min(max(int(start), 0), self.total)
         self._q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
         self._thread: Optional[threading.Thread] = None
 
@@ -35,7 +36,7 @@ class PrefetchIterator:
 
     def _worker(self):
         try:
-            for i in range(self.total):
+            for i in range(self.start, self.total):
                 self._q.put((i, self.dataset[i]))
             self._q.put(None)  # end-of-sequence
         except BaseException as e:  # surfaced at the consumer

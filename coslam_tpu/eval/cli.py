@@ -68,7 +68,7 @@ def cull_main(argv):
     if args.ckpt_path:
         from ..runtime.checkpoint import load_ckpt
 
-        _, est_c2w, _ = load_ckpt(args.ckpt_path)
+        _, est_c2w, _, _ = load_ckpt(args.ckpt_path)
         poses = [est_c2w[i] for i in range(len(est_c2w))]
     else:
         ds = get_dataset(cfg)

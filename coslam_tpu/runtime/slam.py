@@ -347,26 +347,69 @@ class CoSLAM:
         self.timings["mesh"].append((time.perf_counter() - t0) * 1e3)
         return mesh_path
 
-    def save_checkpoint(self, path: str):
-        save_ckpt(path, self.params, self.est_c2w, self.est_c2w_rel)
+    def save_checkpoint(self, path: str, frame_cursor: Optional[int] = None):
+        """Full crash-resume state: params + pose tables + keyframe DB
+        (ray buffer, ids, count, wrap pointer, device pose array) +
+        optimizer state + RNG streams. ``frame_cursor`` is the index of
+        the next unprocessed frame; periodic ckpt_every saves pass it so
+        `--ckpt` resumes mid-sequence (the reference only ever saves
+        model+poses at sequence end, coslam.py:709-712)."""
+        import pickle
 
-    def load_checkpoint(self, path: str):
-        params, est, rel = load_ckpt(path)
+        extra = {
+            "kf_rays": np.asarray(self.kf_db.rays),
+            "kf_frame_ids": np.asarray(self.kf_db.frame_ids),
+            "kf_count": np.int64(self.kf_db.count),
+            "kf_wrap_ptr": np.int64(self.kf_db._wrap_ptr),
+            "kf_poses": np.asarray(self.kf_poses),
+            "jax_key": np.asarray(self.key),
+            "np_rng_state": np.frombuffer(
+                pickle.dumps(self._rng.bit_generator.state), np.uint8),
+            "opt_state": self.map_opt_state,
+        }
+        if frame_cursor is not None:
+            extra["frame_cursor"] = np.int64(frame_cursor)
+        save_ckpt(path, self.params, self.est_c2w, self.est_c2w_rel, extra)
+
+    def load_checkpoint(self, path: str) -> int:
+        """Restores everything save_checkpoint wrote (legacy slim
+        checkpoints restore params+poses only). Returns the frame index
+        to resume from (0 when the checkpoint carries no cursor)."""
+        import pickle
+
+        params, est, rel, extra = load_ckpt(path)
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
         self.est_c2w = est
         self.est_c2w_rel = rel
+        if "kf_rays" in extra:
+            self.kf_db.rays = jnp.asarray(extra["kf_rays"])
+            self.kf_db.frame_ids = np.asarray(extra["kf_frame_ids"])
+            self.kf_db.count = int(extra["kf_count"])
+            self.kf_db._wrap_ptr = int(extra["kf_wrap_ptr"])
+            self.kf_poses = jnp.asarray(extra["kf_poses"])
+        if "opt_state" in extra:
+            self.map_opt_state = jax.tree_util.tree_map(
+                jnp.asarray, extra["opt_state"])
+        if "jax_key" in extra:
+            self.key = jnp.asarray(extra["jax_key"])
+        if "np_rng_state" in extra:
+            self._rng.bit_generator.state = pickle.loads(
+                extra["np_rng_state"].tobytes())
+        return int(extra.get("frame_cursor", 0))
 
     # -- main loop --------------------------------------------------------------
 
     def run(self, n_frames: Optional[int] = None, verbose: bool = True,
             eval_ate: bool = True, profile_dir: Optional[str] = None,
-            ckpt_every: int = 0):
+            ckpt_every: int = 0, start_frame: int = 0):
         """Main per-frame loop (reference coslam.py:651-722).
 
         profile_dir: capture a JAX profiler trace of the steady-state
         frames 10-20 (first-class tracing; the reference has none).
         ckpt_every: periodic checkpoint interval in frames (0 = final
         only, like the reference); enables crash recovery via --ckpt.
+        start_frame: resume the loop mid-sequence (pass the cursor
+        load_checkpoint returned; frames before it are assumed done).
         """
         from ..eval.ate import pose_evaluation
 
@@ -376,7 +419,8 @@ class CoSLAM:
 
         from ..data.prefetch import PrefetchIterator
 
-        frames = PrefetchIterator(self.dataset, n_frames)
+        frames = PrefetchIterator(self.dataset, n_frames,
+                                  start=start_frame)
         total = len(frames)
 
         visualise = bool(cfg["mesh"].get("visualisation"))
@@ -387,8 +431,10 @@ class CoSLAM:
                 jax.profiler.start_trace(profile_dir)
             if profile_dir and i == 20:
                 jax.profiler.stop_trace()
-            if ckpt_every and i > 0 and i % ckpt_every == 0:
-                self.save_checkpoint(os.path.join(out, f"checkpoint{i}.npz"))
+            if ckpt_every and i > start_frame and i % ckpt_every == 0:
+                # State covers frames [0, i): resume continues AT i.
+                self.save_checkpoint(os.path.join(out, f"checkpoint{i}.npz"),
+                                     frame_cursor=i)
             if i == 0:
                 loss = self.first_frame_mapping(batch)
                 if cfg["mapping"]["first_mesh"]:

@@ -70,9 +70,9 @@ def main(argv=None):
     bb = np.array(cfg["mapping"]["bound"], np.float32)
     model = JointEncoding(cfg, bb)
     if args.ckpt:
-        from ..runtime.checkpoint import load_checkpoint
+        from ..runtime.checkpoint import load_ckpt
 
-        params = load_checkpoint(args.ckpt)["params"]
+        params, _, _, _ = load_ckpt(args.ckpt)
     else:
         params = model.init_params(jax.random.PRNGKey(0))
 

@@ -153,7 +153,7 @@ def test_checkpoint_roundtrip(tmp_path, trained_scene):
     rel = {1: np.asarray(pose0, np.float32)}
     p = str(tmp_path / "ck.npz")
     save_ckpt(p, params, est, rel)
-    params2, est2, rel2 = load_ckpt(p)
+    params2, est2, rel2, _ = load_ckpt(p)
     np.testing.assert_array_equal(est, est2)
     np.testing.assert_allclose(rel[1], rel2[1])
     l1 = jax.tree_util.tree_leaves(params)
@@ -202,3 +202,38 @@ def test_ba_static_schedule_matches_masked():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
     np.testing.assert_allclose(np.asarray(out_static[2]),
                                np.asarray(out_masked[2]), atol=1e-7)
+
+
+def test_resume_reproduces_straight_run(tmp_path):
+    """Crash-resume equivalence: a run checkpointed at frame 6 and
+    resumed with --ckpt semantics reproduces the straight run's final
+    pose table EXACTLY — keyframe DB, optimizer state, and both RNG
+    streams are part of the checkpoint, so the resumed trajectory is
+    the same program on the same state."""
+    datadir = str(tmp_path / "scene")
+    cfg = make_synthetic_config(datadir, str(tmp_path / "outA"), H=40, W=52,
+                                n_frames=12)
+    cfg["mapping"]["first_iters"] = 100
+    cfg["mesh"]["vis"] = 0
+    cfg["mesh"]["voxel_final"] = 0.2
+    scene = AnalyticScene()
+    poses = make_trajectory(12, orbit_fraction=0.02)
+    cam = cfg["cam"]
+    write_replica_format(datadir, scene, poses, cam["H"], cam["W"],
+                         cam["fx"], cam["fy"], cam["cx"], cam["cy"])
+
+    slam_a = CoSLAM(cfg)
+    slam_a.run(verbose=False, eval_ate=False, ckpt_every=6)
+    out_a = os.path.join(cfg["data"]["output"], cfg["data"]["exp_name"])
+    ckpt = os.path.join(out_a, "checkpoint6.npz")
+    assert os.path.exists(ckpt)
+
+    cfg_b = dict(cfg, data=dict(cfg["data"], output=str(tmp_path / "outB")))
+    slam_b = CoSLAM(cfg_b)
+    start = slam_b.load_checkpoint(ckpt)
+    assert start == 6
+    assert slam_b.kf_db.count == slam_a.kf_db.count or slam_b.kf_db.count >= 2
+    slam_b.run(verbose=False, eval_ate=False, start_frame=start)
+
+    np.testing.assert_allclose(slam_b.est_c2w, slam_a.est_c2w,
+                               rtol=0, atol=1e-6)
