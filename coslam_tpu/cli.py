@@ -25,7 +25,12 @@ def main(argv=None):
     parser.add_argument("--max_frames", type=int, default=None,
                         help="process only the first N frames")
     parser.add_argument("--ckpt", type=str, default=None,
-                        help="resume from a checkpoint .npz")
+                        help="resume from a checkpoint .npz (full state: "
+                             "map, poses, keyframes, optimizer, RNG, "
+                             "frame cursor)")
+    parser.add_argument("--ckpt_every", type=int, default=0,
+                        help="write a resumable checkpoint every N frames "
+                             "(0 = final only, like the reference)")
     parser.add_argument("--devices", type=int, default=None,
                         help="shard ray batches over N devices "
                              "(data-parallel mesh; overrides parallel.dp)")
@@ -63,7 +68,8 @@ def main(argv=None):
         start_frame = slam.load_checkpoint(args.ckpt)
         if start_frame:
             print(f"resuming from frame {start_frame}")
-    slam.run(n_frames=args.max_frames, start_frame=start_frame)
+    slam.run(n_frames=args.max_frames, start_frame=start_frame,
+             ckpt_every=args.ckpt_every)
 
 
 if __name__ == "__main__":
