@@ -237,3 +237,26 @@ def test_resume_reproduces_straight_run(tmp_path):
 
     np.testing.assert_allclose(slam_b.est_c2w, slam_a.est_c2w,
                                rtol=0, atol=1e-6)
+
+
+def test_current_frame_mapping_path(tmp_path):
+    """mapping.cur_frame_iters > 0 enables the per-frame map-only
+    refinement (reference coslam.py:209-249, grid-only optimizer): the
+    loop runs it before BA and the map still converges."""
+    datadir = str(tmp_path / "scene")
+    cfg = make_synthetic_config(datadir, str(tmp_path / "out"), H=40, W=52,
+                                n_frames=8)
+    cfg["mapping"]["first_iters"] = 100
+    cfg["mapping"]["cur_frame_iters"] = 2
+    cfg["mesh"]["vis"] = 0
+    scene = AnalyticScene()
+    poses = make_trajectory(8, orbit_fraction=0.02)
+    cam = cfg["cam"]
+    write_replica_format(datadir, scene, poses, cam["H"], cam["W"],
+                         cam["fx"], cam["fy"], cam["cx"], cam["cy"])
+
+    slam = CoSLAM(cfg)
+    assert slam._cur_map_step is not None
+    res = slam.run(verbose=False, eval_ate=True)
+    assert np.isfinite(res["absolute_translational_error.rmse"])
+    assert res["absolute_translational_error.rmse"] < 0.05
