@@ -27,7 +27,8 @@ def main(argv=None):
     parser.add_argument("--ckpt", type=str, default=None,
                         help="resume from a checkpoint .npz (full state: "
                              "map, poses, keyframes, optimizer, RNG, "
-                             "frame cursor)")
+                             "frame cursor); 'auto' picks the latest "
+                             "checkpoint*.npz in the run's output dir")
     parser.add_argument("--ckpt_every", type=int, default=0,
                         help="write a resumable checkpoint every N frames "
                              "(0 = final only, like the reference)")
@@ -65,7 +66,24 @@ def main(argv=None):
     slam.seed_everything(0)
     start_frame = 0
     if args.ckpt:
-        start_frame = slam.load_checkpoint(args.ckpt)
+        ckpt_path = args.ckpt
+        if ckpt_path == "auto":
+            # Latest periodic checkpoint in the run's output dir (by
+            # frame index in the filename) — crash recovery without
+            # knowing the exact path.
+            import glob
+            import re
+
+            out_dir = os.path.join(cfg["data"]["output"],
+                                   cfg["data"]["exp_name"])
+            cands = glob.glob(os.path.join(out_dir, "checkpoint*.npz"))
+            if not cands:
+                raise SystemExit(f"--ckpt auto: no checkpoint*.npz "
+                                 f"under {out_dir}")
+            ckpt_path = max(cands, key=lambda p: int(
+                re.search(r"checkpoint(\d+)", p).group(1)))
+            print(f"--ckpt auto -> {ckpt_path}")
+        start_frame = slam.load_checkpoint(ckpt_path)
         if start_frame:
             print(f"resuming from frame {start_frame}")
     slam.run(n_frames=args.max_frames, start_frame=start_frame,

@@ -215,6 +215,14 @@ class CoSLAM:
         c2w, loss, psnr = self._track_step(track_params, jnp.asarray(c2w_init),
                                            rays, self._next_key())
         c2w = np.asarray(c2w)
+        if not np.all(np.isfinite(c2w)):
+            # A non-finite pose would poison every later frame through
+            # the const-speed prediction and the BA pose table; fall
+            # back to the motion-model prediction (the reference only
+            # prints on NaN, optimization/pose_array.py:43-52).
+            print(f"tracking produced a non-finite pose at frame "
+                  f"{frame_id}; keeping the motion-model prediction")
+            c2w = np.asarray(c2w_init, np.float32)
         self.est_c2w[frame_id] = c2w
 
         kf_every = self.config["mapping"]["keyframe_every"]
@@ -474,7 +482,10 @@ class CoSLAM:
                                     name="output_relative.txt")
 
         i = total - 1
-        self.save_checkpoint(os.path.join(out, f"checkpoint{i}.npz"))
+        # cursor=total: --ckpt auto on a finished run re-finalizes
+        # (empty loop + mesh/eval) instead of re-running from frame 0.
+        self.save_checkpoint(os.path.join(out, f"checkpoint{i}.npz"),
+                             frame_cursor=total)
         try:
             self.save_mesh(i, voxel_size=cfg["mesh"]["voxel_final"])
         except Exception as e:

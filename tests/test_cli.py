@@ -99,3 +99,18 @@ def test_export_roundtrip(tmp_path):
     assert "finite=True" in r.stdout
     import os
     assert os.path.getsize(out) > 1000
+
+
+def test_cli_auto_resume(scene_cfg):
+    """--ckpt_every writes mid-run checkpoints; --ckpt auto finds the
+    latest one and resumes from its frame cursor."""
+    cfg, cfg_path = scene_cfg
+    r = _run(["-m", "coslam_tpu", "--config", cfg_path, "--ckpt_every", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = os.path.join(cfg["data"]["output"], cfg["data"]["exp_name"])
+    assert os.path.exists(os.path.join(out, "checkpoint4.npz"))
+
+    r = _run(["-m", "coslam_tpu", "--config", cfg_path, "--ckpt", "auto"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "--ckpt auto ->" in r.stdout
+    assert "resuming from frame" in r.stdout
