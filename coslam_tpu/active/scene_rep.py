@@ -108,8 +108,30 @@ class ActiveJointEncoding(JointEncoding):
         # Heteroscedastic RGB NLL (beta strictly positive by construction).
         uncert = rend["uncert_map"] + 1e-9
         sq = (rend["rgb"] * rgb_w - target_rgb * rgb_w) ** 2
-        rgb_loss = (L.masked_mean(sq / (2.0 * uncert[:, None]), rm[:, None])
-                    + 0.5 * L.masked_mean(jnp.log(uncert), rm) + 4.0)
+        if self.config.get("active", {}).get("detach_nll", False):
+            # Detached-residual variant: the plain MSE drives
+            # color/geometry/pose (identical gradients to the base
+            # model), and the NLL trains ONLY the beta head on a
+            # stop-gradient residual — the standard heteroscedastic
+            # stop-grad trick. Motivation: with the reference NLL
+            # (ac_scene_rep.py:365-380) the 1/beta weighting measurably
+            # biases pose/map optimization on low-texture scenes (see
+            # STATUS.md); beta stays calibrated to the residual scale,
+            # so the info-gain selection semantics are unchanged.
+            sq_d = jax.lax.stop_gradient(sq)
+            # Rebuild the ray uncertainty with detached render weights:
+            # the NLL then trains ONLY the beta head (gradients through
+            # w would otherwise reach the SDF field).
+            w_sg = jax.lax.stop_gradient(rend["weights"])
+            unc_sg = jnp.sum(w_sg * w_sg * rend["raw"][..., -1], -1) + 1e-9
+            rgb_loss = (L.masked_mean(sq, rm[:, None])
+                        + L.masked_mean(sq_d / (2.0 * unc_sg[:, None]),
+                                        rm[:, None])
+                        + 0.5 * L.masked_mean(jnp.log(unc_sg), rm) + 4.0)
+        else:
+            rgb_loss = (L.masked_mean(sq / (2.0 * uncert[:, None]),
+                                      rm[:, None])
+                        + 0.5 * L.masked_mean(jnp.log(uncert), rm) + 4.0)
         psnr = L.mse2psnr(L.masked_mean(sq, rm[:, None]))
         depth_loss = L.compute_loss(rend["depth"], td, mask=valid_depth * rm)
 

@@ -38,6 +38,12 @@ class ActiveCoSLAM(CoSLAM):
         a.setdefault("w", 0.01)
         a.setdefault("downsample_rate", 4)
         a.setdefault("beta_min", 0.01)
+        # Default ON: train beta on a detached residual (the reference's
+        # plain NLL measurably biases pose/map optimization — 91 cm vs
+        # 5 cm ATE on the 300f synthetic control; see
+        # ActiveJointEncoding.forward). detach_nll: false restores the
+        # reference formulation (ac_scene_rep.py:365-380).
+        a.setdefault("detach_nll", True)
         super().__init__(config, dataset)
         self._info_gain_fn = None
 
@@ -113,26 +119,30 @@ class ActiveCoSLAM(CoSLAM):
         wsize = min(int(self.config["active"]["check_info_gain_every"]),
                     len(holdout))
         window = holdout.slice(range(wsize))
-        top = sorted(self.select_info_gain_indices(window))
-        chosen = window.slice(top)
+        by_gain = self.select_info_gain_indices(window)
+        chosen = window.slice(sorted(by_gain))
         train_ds = train_ds + chosen
         # Consume the WHOLE window: unchosen frames are skipped for good,
         # so the processed stream is strictly forward in time (leftovers
         # chosen later would be tracked AFTER newer frames — backward
         # jumps the constant-speed model extrapolates badly from).
         holdout = holdout.slice(range(wsize, len(holdout)))
-        # Chosen frames become keyframes only once TRACKED: the BA pose
-        # table mirrors est_c2w at insertion (runtime/slam.py
-        # add_keyframe), so inserting a not-yet-tracked frame would hand
-        # BA an all-zero pose and poison the map. The reference inserts
-        # at selection time and reads poses the same way
-        # (coslam.py:298-310) — deferral is the correct ordering.
-        for j in range(len(chosen)):
-            fid = int(chosen[j]["frame_id"])
-            self._pending_kf.add(fid)
-            if verbose:
-                print(f"info-gain frame chosen: {fid} "
-                      f"(train set -> {len(train_ds)})")
+        # Only the TOP-1 gain frame becomes a keyframe — the reference's
+        # selection hardcodes topK=1 (ac_coslam.py:1102), which keeps
+        # keyframe insertion at the cadence rate the [num_kf] ring is
+        # sized for; making every chosen frame a keyframe overflows the
+        # ring and recycles away early-scene coverage (measured: ATE
+        # 89 cm vs 5 cm at cadence rate). choose_k controls TRAIN-SET
+        # growth only. Insertion is deferred until the frame is TRACKED:
+        # the BA pose table mirrors est_c2w at insertion
+        # (runtime/slam.py add_keyframe), so inserting a not-yet-tracked
+        # frame would hand BA an all-zero pose and poison the map.
+        if by_gain:
+            self._pending_kf.add(int(window[by_gain[0]]["frame_id"]))
+        if verbose and by_gain:
+            print(f"info-gain chose {[int(window[j]['frame_id']) for j in by_gain]} "
+                  f"(kf: {int(window[by_gain[0]]['frame_id'])}, "
+                  f"train set -> {len(train_ds)})")
         return train_ds, holdout
 
     def run(self, n_frames: Optional[int] = None, verbose: bool = True,
