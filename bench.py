@@ -195,11 +195,14 @@ def main():
     tri_track_ms, tri_ba_ms = alt_enc["TriPlaneHybrid"]
 
     # Flagship operating point (configs/Replica/room0_vm.yaml): TensoVM
-    # + 3-level pyramid + TPU-tuned 16-sample uniform stratum.
+    # + 3-level pyramid + TPU-tuned 16-sample uniform stratum + 11-point
+    # depth-guided range band (exact-depth family; quality measured
+    # BETTER than the 21-point band — BENCH_QUALITY.md).
     fcfg = copy.deepcopy(cfg)
     fcfg["grid"]["enc"] = "TensoVM"
     fcfg["grid"]["triplane_levels"] = 3
     fcfg["training"]["n_samples_d"] = 16
+    fcfg["training"]["n_range_d"] = 11
     fmodel = JointEncoding(fcfg, bb)
     fparams = fmodel.init_params(jax.random.PRNGKey(0))
     fopt = map_tx.init(fparams)
