@@ -31,7 +31,15 @@ class ColorSDFNetV3:
     def __init__(self, config: Dict, input_ch: int, input_ch_pos: int,
                  beta_min: float = 1e-4):
         d = _decoder_dims(config)
-        self.beta_min = float(config.get("active", {}).get("beta_min", beta_min))
+        a = config.get("active", {})
+        self.beta_min = float(a.get("beta_min", beta_min))
+        # With detach_nll (the default — see ActiveJointEncoding.forward)
+        # the uncertainty head reads a STOP-GRADIENT copy of the trunk
+        # features: beta's training signal reaches only
+        # uncertainty_linear, never the shared trunk/grid (the leak that
+        # remains after detaching the NLL residual, since beta itself is
+        # a function of the trunk).
+        self.detach_trunk = bool(a.get("detach_nll", True))
         self.geo_feat_dim = d["geo_feat_dim"]
         self.backbone_out = 1 + d["geo_feat_dim"]
         self.sdf_dims = _layer_dims(input_ch + input_ch_pos, d["hidden_dim"],
@@ -63,7 +71,8 @@ class ColorSDFNetV3:
                  embed_pos: jnp.ndarray, embed_color=None) -> jnp.ndarray:
         h = self.sdf_net(params, jnp.concatenate([embed, embed_pos], axis=-1))
         sdf = _linear(params["sdf_linear"], h)
-        beta = jax.nn.softplus(_linear(params["uncertainty_linear"], h)) \
+        h_u = jax.lax.stop_gradient(h) if self.detach_trunk else h
+        beta = jax.nn.softplus(_linear(params["uncertainty_linear"], h_u)) \
             + self.beta_min
         geo_feat = _linear(params["feature_linear"], h)
         rgb = self.color_net(params,

@@ -136,3 +136,80 @@ def test_dataset_algebra(small_seq):
     assert len(exc) == len(ds) - 2
     # attribute passthrough
     assert v.H == ds.H and both.W == ds.W
+
+
+def test_detach_nll_gradient_isolation(small_seq):
+    """detach_nll (default): the uncertainty NLL must contribute ZERO
+    gradient to grid and non-beta decoder params (geometry/color follow
+    the plain MSE) while the beta head still receives gradient; the
+    reference formulation (detach_nll: false) leaks NLL gradients into
+    the grid (the measured pose-bias mechanism, STATUS.md session 6)."""
+    import jax
+    import jax.numpy as jnp
+
+    from coslam_tpu.active.scene_rep import ActiveJointEncoding
+
+    def build(detach):
+        cfg = dict(small_seq)
+        cfg["active"] = {"isActive": True, "check_info_gain_every": 5,
+                         "init_image": 5, "choose_k": 1, "w": 0.01,
+                         "downsample_rate": 4, "beta_min": 0.01,
+                         "detach_nll": detach}
+        bb = np.array(cfg["mapping"]["bound"], np.float32)
+        return cfg, ActiveJointEncoding(cfg, bb)
+
+    cfg, model = build(True)
+    params = model.init_params(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    n = 64
+    k1, k2 = jax.random.split(key)
+    rays_d = jax.random.normal(k1, (n, 3))
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    rays_o = jnp.zeros((n, 3))
+    rgb = jax.random.uniform(k2, (n, 3))
+    td = jax.random.uniform(k2, (n, 1), minval=0.5, maxval=1.5)
+
+    def rgb_loss_fn(p, m):
+        return m.forward(p, jax.random.PRNGKey(2), rays_o, rays_d,
+                         rgb, td)["rgb_loss"]
+
+    g_detach = jax.grad(rgb_loss_fn)(params, model)
+
+    # Plain-MSE reference gradients: the base JointEncoding math on the
+    # same params is not directly comparable (different decoder), so
+    # compare against the NLL terms' analytic property instead: zeroing
+    # the NLL terms must not change the non-beta gradients.
+    cfg2, model2 = build(False)
+    g_ref = jax.grad(rgb_loss_fn)(params, model2)
+
+    # Beta head trains in both formulations.
+    gb = g_detach["decoder"]["uncertainty_linear"]
+    assert any(float(jnp.abs(x).max()) > 0 for x in
+               jax.tree_util.tree_leaves(gb))
+    # The two formulations must differ on the grid (the reference NLL
+    # couples the grid through 1/beta weighting and the render weights).
+    diff = sum(float(jnp.abs(a - b).sum()) for a, b in zip(
+        jax.tree_util.tree_leaves(g_detach["grid"]),
+        jax.tree_util.tree_leaves(g_ref["grid"])))
+    assert diff > 0
+
+    # Detached grid gradients == gradients of the PURE MSE component
+    # (drop the NLL terms entirely): the NLL contributes nothing.
+    def mse_only(p, m):
+        ret = m.forward(p, jax.random.PRNGKey(2), rays_o, rays_d, rgb, td)
+        # psnr = mse2psnr(masked mse) -> invert to recover the raw MSE
+        # without re-implementing forward: use rgb output directly.
+        sq = (ret["rgb"] - rgb) ** 2
+        return jnp.mean(sq)
+
+    # Same RNG -> same render; compare directions via cosine similarity
+    # of flattened grid grads (exact equality needs identical masking
+    # internals, so assert near-parallel instead).
+    g_mse = jax.grad(mse_only)(params, model)
+    va = jnp.concatenate([x.ravel() for x in
+                          jax.tree_util.tree_leaves(g_detach["grid"])])
+    vb = jnp.concatenate([x.ravel() for x in
+                          jax.tree_util.tree_leaves(g_mse["grid"])])
+    cos = float(jnp.vdot(va, vb) /
+                (jnp.linalg.norm(va) * jnp.linalg.norm(vb) + 1e-12))
+    assert cos > 0.99
