@@ -265,7 +265,9 @@ class ActiveCoSLAM(CoSLAM):
             self.save_mesh(total - 1, voxel_size=cfg["mesh"]["voxel_final"])
         except Exception as e:
             print(f"final mesh save failed: {e}")
-        self.save_checkpoint(os.path.join(out, f"checkpoint{i}.npz"))
+        # cursor=total: resuming a finished run re-finalizes only.
+        self.save_checkpoint(os.path.join(out, f"checkpoint{i}.npz"),
+                             frame_cursor=total)
         results = None
         if eval_ate:
             # The active loop trains on a SUBSEQUENCE; evaluate ATE over

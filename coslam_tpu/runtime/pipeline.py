@@ -153,7 +153,9 @@ class PipelinedCoSLAM(CoSLAM):
             raise self._error
 
         i = total - 1
-        self.save_checkpoint(os.path.join(out, f"checkpoint{i}.npz"))
+        # cursor=total: resuming a finished run re-finalizes only.
+        self.save_checkpoint(os.path.join(out, f"checkpoint{i}.npz"),
+                             frame_cursor=total)
         try:
             self.save_mesh(i, voxel_size=cfg["mesh"]["voxel_final"])
         except Exception as e:
