@@ -55,6 +55,8 @@ def main():
         cfg["training"]["n_samples_d"] = int(os.environ["SAMPLES_D"])
     if os.environ.get("TRIPLANE_LEVELS"):
         cfg["grid"]["triplane_levels"] = int(os.environ["TRIPLANE_LEVELS"])
+    if os.environ.get("RANGE_D"):
+        cfg["training"]["n_range_d"] = int(os.environ["RANGE_D"])
     if os.environ.get("DECODER_DTYPE"):
         cfg["decoder"]["dtype"] = os.environ["DECODER_DTYPE"]
     bb = np.array(cfg["mapping"]["bound"], np.float32)
