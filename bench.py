@@ -66,8 +66,11 @@ def main():
         depth = jax.random.uniform(k3, (n, 1), minval=0.5, maxval=4.0)
         return jnp.concatenate([dirs, rgb, depth], -1)
 
-    kf_rays = rand_rays(jax.random.PRNGKey(1),
-                        num_kf * rays_per_kf).reshape(num_kf, rays_per_kf, 7)
+    from coslam_tpu.runtime.keyframe import RAY_CHUNK, pack_rays
+    rays_per_kf -= rays_per_kf % RAY_CHUNK
+    kf_rays = jax.jit(pack_rays)(
+        rand_rays(jax.random.PRNGKey(1),
+                  num_kf * rays_per_kf).reshape(num_kf, rays_per_kf, 7))
     kf_poses = jnp.tile(jnp.eye(4), (num_kf, 1, 1)).astype(jnp.float32)
     cur_pose = jnp.eye(4, dtype=jnp.float32)
     cur_rays = rand_rays(jax.random.PRNGKey(2), H * W)

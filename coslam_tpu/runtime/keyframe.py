@@ -16,6 +16,19 @@ Sampling semantics vs the reference:
   `count * rays_per_kf` stored rays (the reference draws without
   replacement from the same pool; at 2048 draws from millions of rays
   the collision probability is negligible).
+
+Storage layout (TPU): rays are PACKED 16-per-row as [num_kf, R/16, 128]
+(each 128-lane row holds 16 rays x 8 floats, the 8th a zero pad).
+XLA lowers a random gather of narrow [*, 7] rows to a SERIAL per-row
+loop (~1 us/row — 2 ms per BA iteration at the Replica batch size);
+gathering full 128-lane rows is vectorized and ~free. Global sampling
+therefore draws 16-ray CHUNKS. Each keyframe's reservoir rows are a
+uniform random subsample in top-k order (i.e. randomly ordered pixels),
+so a chunk of 16 consecutive STORED rays is itself a uniform 16-ray
+sample of the frame — chunked draws only add a without-replacement
+structure within each 16-group, which at BA batch sizes is
+statistically indistinguishable from independent draws.
+`num_rays_to_save` is floored to a multiple of 16.
 """
 
 from __future__ import annotations
@@ -27,6 +40,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+RAY_CHUNK = 16  # rays per packed 128-lane storage row
+
+
+def pack_rays(rays: jnp.ndarray) -> jnp.ndarray:
+    """[..., R, 7] logical rays -> [..., R/16, 128] packed storage rows
+    (pad each ray 7 -> 8 floats, 16 rays per row). R must be a multiple
+    of RAY_CHUNK."""
+    *lead, R, w = rays.shape
+    assert w == 7 and R % RAY_CHUNK == 0, (rays.shape,)
+    pad = [(0, 0)] * len(lead) + [(0, 0), (0, 1)]
+    return jnp.pad(rays, pad).reshape(*lead, R // RAY_CHUNK, 8 * RAY_CHUNK)
+
+
+def unpack_rays(packed: jnp.ndarray) -> jnp.ndarray:
+    """[..., C, 128] packed rows -> [..., C*16, 7] logical rays."""
+    *lead, C, w = packed.shape
+    assert w == 8 * RAY_CHUNK, (packed.shape,)
+    return packed.reshape(*lead, C * RAY_CHUNK, 8)[..., :7]
+
 
 class KeyFrameDatabase:
     def __init__(self, config: Dict, H: int, W: int, num_kf: int,
@@ -34,8 +66,13 @@ class KeyFrameDatabase:
         self.config = config
         self.H, self.W = H, W
         self.num_kf = num_kf
-        self.num_rays_to_save = num_rays_to_save
-        self.rays = jnp.zeros((num_kf, num_rays_to_save, 7), jnp.float32)
+        # Floor to the packed-chunk granularity (module docstring).
+        self.num_rays_to_save = max(RAY_CHUNK,
+                                    num_rays_to_save
+                                    - num_rays_to_save % RAY_CHUNK)
+        num_rays_to_save = self.num_rays_to_save
+        self.rays = jnp.zeros((num_kf, num_rays_to_save // RAY_CHUNK,
+                               8 * RAY_CHUNK), jnp.float32)
         self.frame_ids = np.full((num_kf,), -1, np.int64)
         self.count = 0
         self._wrap_ptr = 1  # next slot to recycle once the buffer is full
@@ -53,7 +90,7 @@ class KeyFrameDatabase:
                 valid = (frame_rays[:, 6] > 0.0) & (frame_rays[:, 6] <= depth_trunc)
                 scores = jnp.where(valid, scores, -jnp.inf)
             _, idx = jax.lax.top_k(scores, num_rays_to_save)
-            sampled = frame_rays[idx]
+            sampled = pack_rays(frame_rays[idx])
             return jax.lax.dynamic_update_slice(buf, sampled[None], (slot, 0, 0))
 
         self._add = _add
@@ -85,12 +122,15 @@ class KeyFrameDatabase:
 
     def sample_global_rays(self, key, bs: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Random rays from all stored keyframes (host entry point; the BA
-        megastep inlines the same logic on device). Returns
-        (rays [bs, 7], kf_index [bs])."""
-        idx = jax.random.randint(key, (bs,), 0,
-                                 self.count * self.num_rays_to_save)
-        flat = self.rays.reshape(-1, 7)
-        return flat[idx], idx // self.num_rays_to_save
+        megastep inlines the same logic on device): `bs // 16` random
+        16-ray chunks (module docstring). Returns
+        (rays [bs, 7], kf_index [bs]); bs must be a multiple of 16."""
+        assert bs % RAY_CHUNK == 0, bs
+        nc = self.num_rays_to_save // RAY_CHUNK
+        cid = jax.random.randint(key, (bs // RAY_CHUNK,), 0, self.count * nc)
+        flat = self.rays.reshape(-1, 8 * RAY_CHUNK)
+        rays = unpack_rays(flat[cid])
+        return rays, jnp.repeat(cid // nc, RAY_CHUNK)
 
     def sample_global_keyframe(self, key, window_size: int, n_fixed: int = 1):
         """Windowed keyframe sampling: `window_size` random keyframes plus
@@ -98,11 +138,11 @@ class KeyFrameDatabase:
         Returns (rays [k, R, 7], slot indices list)."""
         if window_size >= self.count:
             slots = list(range(self.count))
-            return self.rays[:self.count], slots
+            return unpack_rays(self.rays[:self.count]), slots
         perm = np.asarray(jax.random.permutation(key, self.count - n_fixed))
         slots = list(perm[:window_size]) + list(
             range(self.count - n_fixed, self.count))
-        return self.rays[np.asarray(slots)], slots
+        return unpack_rays(self.rays[np.asarray(slots)]), slots
 
     def sample_overlap_keyframe(self, batch: Dict, frame_id: int,
                                 est_c2w_list, k_frame: int,
@@ -156,4 +196,4 @@ class KeyFrameDatabase:
         last = self.count - 1
         if last not in selected:
             selected.append(last)
-        return self.rays[np.asarray(selected)], selected
+        return unpack_rays(self.rays[np.asarray(selected)]), selected

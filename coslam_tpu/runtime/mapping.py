@@ -167,10 +167,18 @@ def make_ba_step(model, config: Dict, map_tx, max_kf: int, rays_per_kf: int,
                  n_pixels: int, mesh=None, maxcur: int = None):
     """Build the jitted global-BA megastep.
 
-    step(map_params, map_opt_state, kf_rays [max_kf, R, 7], kf_count,
+    step(map_params, map_opt_state, kf_rays, kf_count,
          kf_poses [max_kf, 4, 4], cur_pose [4, 4], cur_rays [H*W, 7], key)
       -> (map_params, map_opt_state, new_kf_poses, new_cur_pose,
           last_loss)
+
+    kf_rays is either the PACKED reservoir [max_kf, R/16, 128]
+    (runtime/keyframe.py layout — the fast path: the per-iteration ray
+    draw gathers 128-lane rows of 16 pre-shuffled rays each, which XLA
+    vectorizes, instead of narrow [*, 7] rows, which XLA lowers to a
+    ~1 us/row serial loop ≈ 2 ms/iteration at Replica batch size) or
+    the logical [max_kf, R, 7] block (row-gather fallback; also used
+    when `sample` is not a multiple of 16).
 
     maxcur caps the fixed-shape current-frame ray block. The dynamic
     quota is max(sample // kf_count, min_pixels_cur) (reference
@@ -225,7 +233,6 @@ def make_ba_step(model, config: Dict, map_tx, max_kf: int, rays_per_kf: int,
                 mats = mats.at[max_kf].set(cur_pose)        # frozen current
             return mats
 
-        flat_kf = kf_rays.reshape(-1, 7)
         n_cur_quota = jnp.minimum(
             jnp.maximum(sample // jnp.maximum(kf_count, 1), min_pixels_cur),
             maxcur)
@@ -265,6 +272,29 @@ def make_ba_step(model, config: Dict, map_tx, max_kf: int, rays_per_kf: int,
 
         zero_pose_grads = jax.tree_util.tree_map(jnp.zeros_like, pp)
 
+        from .keyframe import RAY_CHUNK, unpack_rays
+        is_packed = kf_rays.ndim == 3 and kf_rays.shape[-1] == 8 * RAY_CHUNK
+        chunked = is_packed and sample % RAY_CHUNK == 0
+        if is_packed:
+            nc = kf_rays.shape[1]          # chunks per keyframe
+            R = nc * RAY_CHUNK
+            flat_kf = unpack_rays(kf_rays.reshape(-1, 8 * RAY_CHUNK)) \
+                if not chunked else None
+            flat_chunks = kf_rays.reshape(-1, 8 * RAY_CHUNK)
+        else:
+            R = kf_rays.shape[1]
+            flat_kf = kf_rays.reshape(-1, 7)
+
+        def sample_kf_rays(k):
+            """-> (rays [sample, 7], kf ids [sample])."""
+            if chunked:
+                cid = jax.random.randint(k, (sample // RAY_CHUNK,), 0,
+                                         kf_count * nc)
+                return (unpack_rays(flat_chunks[cid]),
+                        jnp.repeat(cid // nc, RAY_CHUNK))
+            idx = jax.random.randint(k, (sample,), 0, kf_count * R)
+            return flat_kf[idx], idx // R
+
         def body(carry, xs):
             if map_every_iter:
                 (pp, pose_opt_state, mp, map_opt_state,
@@ -276,9 +306,7 @@ def make_ba_step(model, config: Dict, map_tx, max_kf: int, rays_per_kf: int,
             i, k = xs
             k1, k2, k3 = jax.random.split(k, 3)
 
-            idx = jax.random.randint(k1, (sample,), 0, kf_count * rays_per_kf)
-            kf_ray = flat_kf[idx]
-            kf_ids = idx // rays_per_kf
+            kf_ray, kf_ids = sample_kf_rays(k1)
 
             cur_idx = jax.random.randint(k2, (maxcur,), 0, n_cur_pix)
             cur_ray = cur_rays[cur_idx]

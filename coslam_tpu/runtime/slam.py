@@ -95,8 +95,8 @@ class CoSLAM:
                                                  self.map_tx, H, W,
                                                  mesh=self.mesh)
         self._ba_step = make_ba_step(self.model, config, self.map_tx,
-                                     num_kf, self.dataset.num_rays_to_save,
-                                     self.dataset.num_rays_to_save,
+                                     num_kf, self.kf_db.num_rays_to_save,
+                                     self.kf_db.num_rays_to_save,
                                      mesh=self.mesh)
         # Small-current-block variant: once kf_count >= sample/maxcur_small
         # the dynamic quota fits in a much smaller fixed block (halves the
@@ -114,7 +114,7 @@ class CoSLAM:
                                       // n_dev) * n_dev
         self._ba_step_small = make_ba_step(
             self.model, config, self.map_tx, num_kf,
-            self.dataset.num_rays_to_save, self.dataset.num_rays_to_save,
+            self.kf_db.num_rays_to_save, self.kf_db.num_rays_to_save,
             maxcur=self._ba_maxcur_small, mesh=self.mesh)
         # Optional modes (reference coslam.py:209-249 / :415-500).
         if config["mapping"]["cur_frame_iters"] > 0:
@@ -390,7 +390,12 @@ class CoSLAM:
         self.est_c2w = est
         self.est_c2w_rel = rel
         if "kf_rays" in extra:
-            self.kf_db.rays = jnp.asarray(extra["kf_rays"])
+            kf_rays = jnp.asarray(extra["kf_rays"])
+            if kf_rays.shape[-1] == 7:  # legacy unpacked checkpoint
+                from .keyframe import RAY_CHUNK, pack_rays
+                R16 = kf_rays.shape[1] - kf_rays.shape[1] % RAY_CHUNK
+                kf_rays = pack_rays(kf_rays[:, :R16])
+            self.kf_db.rays = kf_rays
             self.kf_db.frame_ids = np.asarray(extra["kf_frame_ids"])
             self.kf_db.count = int(extra["kf_count"])
             self.kf_db._wrap_ptr = int(extra["kf_wrap_ptr"])
