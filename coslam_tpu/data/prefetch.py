@@ -20,14 +20,21 @@ class PrefetchIterator:
     Loading happens on a daemon worker thread; a queue of ``depth``
     pre-loaded frames stays ahead of the consumer. Exceptions raised by
     the loader are re-raised at the consumer's next ``__next__``.
+
+    ``transform(i, batch) -> batch`` (optional) runs in the WORKER
+    thread right after the load — the SLAM loop uses it to stage
+    host->device uploads (frame blocks, tracking rays) a frame early so
+    the transfer latency hides behind the previous frame's device
+    compute. It must not touch consumer-thread state.
     """
 
     def __init__(self, dataset, n_frames: Optional[int] = None,
-                 depth: int = 2, start: int = 0):
+                 depth: int = 2, start: int = 0, transform=None):
         self.dataset = dataset
         total = len(dataset)
         self.total = total if n_frames is None else min(n_frames, total)
         self.start = min(max(int(start), 0), self.total)
+        self.transform = transform
         self._q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
         self._thread: Optional[threading.Thread] = None
 
@@ -37,7 +44,10 @@ class PrefetchIterator:
     def _worker(self):
         try:
             for i in range(self.start, self.total):
-                self._q.put((i, self.dataset[i]))
+                batch = self.dataset[i]
+                if self.transform is not None:
+                    batch = self.transform(i, batch) or batch
+                self._q.put((i, batch))
             self._q.put(None)  # end-of-sequence
         except BaseException as e:  # surfaced at the consumer
             self._q.put(e)
