@@ -145,12 +145,48 @@ class CoSLAM:
         self._assemble_block = jax.jit(
             lambda dirs, rgb, depth: jnp.concatenate(
                 [dirs, rgb.reshape(-1, 3), depth.reshape(-1, 1)], axis=1))
-        self._pack_track = jax.jit(
-            lambda c2w, loss, psnr: jnp.concatenate(
-                [c2w.reshape(-1), jnp.stack([loss, psnr])]))
         self._pack_ba = jax.jit(
             lambda kf, cur, loss: jnp.concatenate(
                 [kf.reshape(-1), cur.reshape(-1), loss.reshape(1)]))
+
+        # Device-resident pose chain + deferred readbacks (sequential
+        # run() only): the last two tracked poses stay on device, the
+        # const-speed init is predicted on device, the non-finite
+        # fallback is a device select, and BOTH the tracking and the BA
+        # packed results are copied to the host ASYNCHRONOUSLY
+        # (copy_to_host_async: measured 0.18 ms vs the ~26 ms tunnel
+        # RTT of a blocking fetch). Pending readbacks form a FIFO that
+        # replays the host pose-table writes in EXACT sequential order
+        # (track i -> BA i -> track i+1 ...), drained with a few frames
+        # of lag so transfers overlap device compute; any host read of
+        # the table drains it fully first. The frame loop's serialized
+        # host cost drops to the jitted dispatches — the device
+        # pipeline, not the tunnel, sets the frame rate.
+        self.defer_readback = False   # set by run(); subclasses stay sync
+        self._chain: Dict[int, jnp.ndarray] = {}   # frame id -> device [4,4]
+        self._pending = []   # FIFO of ("track"|"ba", ...) readback entries
+        self._last_track_info = (float("nan"),) * 3
+
+        def _rigid_inv(m):
+            Rt = m[:3, :3].T
+            top = jnp.concatenate([Rt, (-Rt @ m[:3, 3])[:, None]], axis=1)
+            return jnp.concatenate([top, m[3:4]], axis=0)
+
+        # Constant-speed motion model on device (predict_current_pose
+        # semantics, reference coslam.py:399-413): prev @ inv(prev_prev)
+        # applied to prev. Rigid closed-form inverse (R^T, -R^T t).
+        self._predict_dev = jax.jit(
+            lambda prev, prev_prev: (prev @ _rigid_inv(prev_prev)) @ prev)
+
+        def _pack_guard(c2w, loss, psnr, c2w_init):
+            finite = jnp.all(jnp.isfinite(c2w))
+            out = jnp.where(finite, c2w, c2w_init)  # non-finite fallback
+            packed = jnp.concatenate(
+                [out.reshape(-1),
+                 jnp.stack([loss, psnr, finite.astype(jnp.float32)])])
+            return packed, out
+
+        self._pack_track_guard = jax.jit(_pack_guard)
 
         # Per-phase instrumentation (ms per invocation).
         self.timings = {"tracking": [], "mapping": [], "mesh": [],
@@ -242,8 +278,10 @@ class CoSLAM:
         self.est_c2w_rel[0] = c2w
 
         frame_rays = self._frame_block(batch)
+        c2w_dev = jnp.asarray(c2w)
+        self._chain[0] = c2w_dev  # seed the device pose chain
         self.params, self.map_opt_state, loss, psnr = self._first_step(
-            self.params, self.map_opt_state, jnp.asarray(c2w), frame_rays,
+            self.params, self.map_opt_state, c2w_dev, frame_rays,
             self._next_key())
         self.add_keyframe(batch, frame_rays=frame_rays)
         jax.block_until_ready(loss)
@@ -264,37 +302,91 @@ class CoSLAM:
         out-of-order info-gain frames, where frame_id-1 may be untracked)."""
         t0 = time.perf_counter()
         track_params = self.params if params is None else params
-        if c2w_init is not None:
-            pass
-        elif self.config["tracking"]["iter_point"] > 0:
-            # tracking_pc already initialized this frame's pose
-            # (reference coslam.py:516-519).
-            c2w_init = self.est_c2w[frame_id]
+        # Deferred-readback fast path: init pose comes from the device
+        # chain, the packed result goes back asynchronously. Only the
+        # standard sequential prediction path qualifies (explicit
+        # c2w_init = ActiveCoSLAM out-of-order frames; iter_point = pc
+        # tracking already wrote est_c2w; params = pipelined snapshot).
+        deferred = (self.defer_readback and params is None
+                    and c2w_init is None
+                    and self.config["tracking"]["iter_point"] <= 0
+                    and (frame_id - 1) in self._chain)
+        if deferred:
+            prev_dev = self._chain[frame_id - 1]
+            pp_dev = self._chain.get(frame_id - 2)
+            if self.config["tracking"]["const_speed"] and pp_dev is not None:
+                c2w_init_dev = self._predict_dev(prev_dev, pp_dev)
+            else:
+                c2w_init_dev = prev_dev
         else:
-            const_speed = self.config["tracking"]["const_speed"]
-            prev = self.est_c2w[frame_id - 1]
-            prev_prev = self.est_c2w[frame_id - 2] if frame_id >= 2 else None
-            c2w_init = predict_current_pose(prev, prev_prev, const_speed)
+            if c2w_init is not None:
+                pass
+            elif self.config["tracking"]["iter_point"] > 0:
+                # tracking_pc already initialized this frame's pose
+                # (reference coslam.py:516-519).
+                c2w_init = self.est_c2w[frame_id]
+            else:
+                const_speed = self.config["tracking"]["const_speed"]
+                prev = self.est_c2w[frame_id - 1]
+                prev_prev = (self.est_c2w[frame_id - 2]
+                             if frame_id >= 2 else None)
+                c2w_init = predict_current_pose(prev, prev_prev, const_speed)
+            c2w_init_dev = jnp.asarray(np.asarray(c2w_init, np.float32))
 
         rays = batch.get("_dev_track_rays")  # staged by the prefetch worker
         if rays is None:
             rays = jnp.asarray(self._sample_tracking_rays(batch))
-        c2w_dev, loss, psnr = self._track_step(track_params,
-                                               jnp.asarray(c2w_init),
+        c2w_dev, loss, psnr = self._track_step(track_params, c2w_init_dev,
                                                rays, self._next_key())
-        # ONE d2h round-trip for pose+loss+psnr (three separate fetches
-        # pay the ~20 ms tunnel RTT each).
-        packed = np.asarray(self._pack_track(c2w_dev, loss, psnr))
-        c2w = packed[:16].reshape(4, 4)
+        # ONE packed d2h array for pose+loss+psnr+finite-flag (separate
+        # fetches pay the ~20 ms tunnel RTT each); the non-finite
+        # fallback to the motion-model init is a device select.
+        packed_dev, c2w_guard = self._pack_track_guard(c2w_dev, loss, psnr,
+                                                       c2w_init_dev)
+        if self.defer_readback:
+            self._chain[frame_id] = c2w_guard
+            for old in [f for f in self._chain if f < frame_id - 1]:
+                del self._chain[old]
+        self.timings["tracking"].append((time.perf_counter() - t0) * 1e3)
+        entry = ("track", frame_id, packed_dev,
+                 len(self.timings["tracking"]) - 1)
+        if deferred:
+            self._pending.append(entry)
+            try:  # start the d2h copy in the background
+                packed_dev.copy_to_host_async()
+            except Exception:
+                pass  # backend without async copy: resolve blocks later
+            # Drain OLD entries (their transfers long overlapped device
+            # compute); the few newest stay pending — this bounds how
+            # far the host can run ahead of the device (backpressure).
+            while len(self._pending) > 3:
+                self._resolve_entry(self._pending.pop(0))
+            return None
+        # Sync path (pipelined tracker thread / ActiveCoSLAM / pc-init):
+        # resolve directly — the shared pending list stays untouched, so
+        # a concurrent mapper thread's drain cannot race it.
+        self._resolve_track_pending()
+        self._resolve_entry(entry)
+        return self._last_track_info[0]
+
+    def _resolve_entry(self, entry):
+        """Resolve one pending readback into the host pose table. The
+        block time is charged back to the phase's timing entry."""
+        if entry[0] == "ba":
+            return self._resolve_ba_entry(entry)
+        _, frame_id, packed_dev, tidx = entry
+        t0 = time.perf_counter()
+        packed = np.asarray(packed_dev)
+        self.timings["tracking"][tidx] += (time.perf_counter() - t0) * 1e3
+        c2w = packed[:16].reshape(4, 4).astype(np.float32)
         loss, psnr = float(packed[16]), float(packed[17])
-        if not np.all(np.isfinite(c2w)):
+        if packed[18] == 0.0:
             # A non-finite pose would poison every later frame through
-            # the const-speed prediction and the BA pose table; fall
-            # back to the motion-model prediction (the reference only
-            # prints on NaN, optimization/pose_array.py:43-52).
+            # the const-speed prediction and the BA pose table; the
+            # device select already kept the motion-model prediction
+            # (the reference only prints, optimization/pose_array.py:43-52).
             print(f"tracking produced a non-finite pose at frame "
                   f"{frame_id}; keeping the motion-model prediction")
-            c2w = np.asarray(c2w_init, np.float32)
         self.est_c2w[frame_id] = c2w
 
         kf_every = self.config["mapping"]["keyframe_every"]
@@ -308,15 +400,42 @@ class CoSLAM:
                 self.est_c2w_rel[frame_id] = (
                     c2w.astype(np.float64)
                     @ np.linalg.inv(c2w_key)).astype(np.float32)
-        self.timings["tracking"].append((time.perf_counter() - t0) * 1e3)
 
         gt = self.pose_gt.get(frame_id)
         if gt is not None and np.all(np.isfinite(gt)):
             err = np.abs(c2w[:3] - gt[:3]).mean()
         else:
             err = float("nan")
-        self._last_track_info = (float(loss), float(psnr), float(err))
-        return float(loss)
+        self._last_track_info = (loss, psnr, float(err))
+
+    def _resolve_ba_entry(self, entry):
+        """Apply a deferred BA readback to the host pose table — same
+        writes, same order as the synchronous path (coslam.py:389-397).
+        kf count/ids/optim_cur were snapshotted at issue time."""
+        (_, cur_frame_id, packed_dev, count, frame_ids, optim_cur,
+         tidx) = entry
+        t0 = time.perf_counter()
+        packed = np.asarray(packed_dev)
+        self.timings["mapping"][tidx] += (time.perf_counter() - t0) * 1e3
+        self._last_ba_loss = float(packed[-1])
+        nk = self.kf_db.num_kf
+        if count >= 2:
+            kf_np = packed[:nk * 16].reshape(nk, 4, 4)
+            for slot in range(1, count):
+                self.est_c2w[int(frame_ids[slot])] = kf_np[slot]
+            if optim_cur:
+                self.est_c2w[cur_frame_id] = \
+                    packed[nk * 16:nk * 16 + 16].reshape(4, 4)
+
+    def _resolve_track_pending(self):
+        while self._pending:
+            self._resolve_entry(self._pending.pop(0))
+
+    def _pose_dev(self, frame_id: int) -> jnp.ndarray:
+        """Device pose for a frame: the chain copy when resident (no
+        upload), else the host table."""
+        p = self._chain.get(frame_id)
+        return p if p is not None else jnp.asarray(self.est_c2w[frame_id])
 
     def add_keyframe(self, batch: Dict, frame_rays: Optional[jnp.ndarray] = None):
         """Reference model/keyframe.py:67-94 + coslam.py:685-687."""
@@ -327,14 +446,14 @@ class CoSLAM:
             filter_depth=self.config["mapping"]["filter_depth"])
         # Mirror the keyframe pose into the device pose table.
         self.kf_poses = self.kf_poses.at[slot].set(
-            jnp.asarray(self.est_c2w[int(batch["frame_id"])]))
+            self._pose_dev(int(batch["frame_id"])))
 
     def current_frame_mapping(self, batch: Dict, cur_frame_id: int):
         """Per-frame map-only refinement (reference coslam.py:209-249;
         no-op unless mapping.cur_frame_iters > 0)."""
         if self.config["mapping"]["cur_frame_iters"] <= 0:
             return None
-        c2w = jnp.asarray(self.est_c2w[cur_frame_id])
+        c2w = self._pose_dev(cur_frame_id)
         frame_rays = self._frame_block(batch)
         grid, self._cur_map_opt_state, loss = self._cur_map_step(
             self.params["grid"], self.params["decoder"],
@@ -345,6 +464,7 @@ class CoSLAM:
     def tracking_pc(self, batch: Dict, frame_id: int,
                     params: Optional[Dict] = None) -> float:
         """Point-cloud-loss tracking (reference coslam.py:415-500)."""
+        self._resolve_track_pending()
         track_params = self.params if params is None else params
         const_speed = self.config["tracking"]["const_speed"]
         prev = self.est_c2w[frame_id - 1]
@@ -367,11 +487,10 @@ class CoSLAM:
 
     def global_BA(self, batch: Dict, cur_frame_id: int) -> float:
         """Reference coslam.py:285-397."""
+        if not self.defer_readback:
+            self._resolve_track_pending()
         t0 = time.perf_counter()
-        # Sync host pose table -> device KF pose array (tracking may have
-        # updated the KF pose if cur frame is a KF... KFs are added after
-        # BA, so only previously optimized poses live here already).
-        cur_pose = jnp.asarray(self.est_c2w[cur_frame_id])
+        cur_pose = self._pose_dev(cur_frame_id)
         cur_rays = self._frame_block(batch)
 
         ba = (self._ba_step_small if self.kf_db.count >= self._ba_small_min_kf
@@ -382,26 +501,38 @@ class CoSLAM:
             jnp.int32(self.kf_db.count), self.kf_poses, cur_pose, cur_rays,
             self._next_key())
 
-        # ONE d2h round-trip for (keyframe poses, current pose, loss).
-        nk = self.kf_db.num_kf
-        packed = np.asarray(self._pack_ba(self.kf_poses, new_cur, loss))
-        loss = packed[-1]
-        # Write optimized poses back to the host table
-        # (reference coslam.py:389-397).
+        # ONE packed d2h array for (keyframe poses, current pose, loss).
+        packed_dev = self._pack_ba(self.kf_poses, new_cur, loss)
         if self.kf_db.count >= 2:
-            kf_np = packed[:nk * 16].reshape(nk, 4, 4)
+            # Keep the device pose chain current (the next frame's
+            # prediction must see the BA-optimized poses, like the host
+            # table does in the synchronous path).
             for slot in range(1, self.kf_db.count):
                 fid = int(self.kf_db.frame_ids[slot])
-                self.est_c2w[fid] = kf_np[slot]
-            if self.config["mapping"]["optim_cur"]:
-                self.est_c2w[cur_frame_id] = \
-                    packed[nk * 16:nk * 16 + 16].reshape(4, 4)
+                if fid in self._chain:
+                    self._chain[fid] = self.kf_poses[slot]
+            if (self.config["mapping"]["optim_cur"]
+                    and cur_frame_id in self._chain):
+                self._chain[cur_frame_id] = new_cur
         self.timings["mapping"].append((time.perf_counter() - t0) * 1e3)
-        return float(loss)
+        entry = ("ba", cur_frame_id, packed_dev, self.kf_db.count,
+                 np.array(self.kf_db.frame_ids, copy=True),
+                 bool(self.config["mapping"]["optim_cur"]),
+                 len(self.timings["mapping"]) - 1)
+        if self.defer_readback:
+            self._pending.append(entry)
+            try:
+                packed_dev.copy_to_host_async()
+            except Exception:
+                pass
+            return None
+        self._resolve_entry(entry)
+        return self._last_ba_loss
 
     def convert_relative_pose(self) -> Dict[int, np.ndarray]:
         """Recompose non-keyframe poses from stored keyframe-relative deltas
         (reference coslam.py:596-608)."""
+        self._resolve_track_pending()
         kf_every = self.config["mapping"]["keyframe_every"]
         poses = {}
         for i in range(len(self.est_c2w)):
@@ -440,6 +571,8 @@ class CoSLAM:
         `--ckpt` resumes mid-sequence (the reference only ever saves
         model+poses at sequence end, coslam.py:709-712)."""
         import pickle
+
+        self._resolve_track_pending()
 
         extra = {
             "kf_rays": np.asarray(self.kf_db.rays),
@@ -512,6 +645,15 @@ class CoSLAM:
         map_every = cfg["mapping"]["map_every"]
         kf_every = cfg["mapping"]["keyframe_every"]
 
+        # Sequential loop: defer tracking/BA readbacks (device pose
+        # chain). On resume, re-seed the chain from the checkpointed
+        # table so the resumed frames take the same (device-predict)
+        # path as the original run — bitwise-identical resumption.
+        self.defer_readback = True
+        for fid in (start_frame - 2, start_frame - 1):
+            if fid >= 0 and np.any(self.est_c2w[fid]):
+                self._chain[fid] = jnp.asarray(self.est_c2w[fid])
+
         def stage(i, batch):
             """Runs in the prefetch WORKER thread: issue the (async)
             host->device uploads a frame early so the transfer hides
@@ -556,6 +698,7 @@ class CoSLAM:
                 self.tracking_pc(batch, i)
             self.tracking_render(batch, i)
             if verbose:
+                self._resolve_track_pending()
                 loss, psnr, err = self._last_track_info
                 print(f"it: {i}, loss: {loss:.5f}, psnr: {psnr:.3f}, "
                       f"pose L1 vs gt: {err:.5f}")
@@ -619,10 +762,12 @@ class CoSLAM:
         return path
 
     def _pose_dict(self) -> Dict[int, np.ndarray]:
+        self._resolve_track_pending()
         return {i: self.est_c2w[i] for i in range(len(self.est_c2w))
                 if np.any(self.est_c2w[i] != 0)}
 
     def print_timings(self):
+        self._resolve_track_pending()  # charge outstanding block time
         for phase, vals in self.timings.items():
             if vals:
                 # Skip the first invocation (jit compile) in the mean.
