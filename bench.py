@@ -234,6 +234,19 @@ def main():
     system_fps = 1000.0 / (flag_track_ms
                            + flag_ba_ms / cfg["mapping"]["map_every"])
 
+    # ---- measured end-to-end wall FPS (the REAL frame loop) -------------
+    # Runs CoSLAM.run() on a cached 24-frame 480x640 synthetic scene at
+    # the flagship operating point and measures the steady-state
+    # inter-frame wall time (frames 8..23: past the once-per-process
+    # megastep cache loads, covering 3 BA cycles + 3 keyframe inserts +
+    # prefetch staging + deferred readbacks). This is the honest system
+    # number — derived system_fps assumes zero host/transfer overhead.
+    wall = {}
+    try:
+        wall = _measure_wall_fps()
+    except Exception as e:  # never fail the bench artifact for this
+        print(f"wall-fps measurement skipped: {e}", file=sys.stderr)
+
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(json.dumps({
         "metric": "tracking_fps_replica",
@@ -289,9 +302,62 @@ def main():
             tri_track_ms + tri_ba_ms / cfg["mapping"]["map_every"]), 2),
         "triplane_tracking_ms": round(alt_enc["TriPlane"][0], 2),
         "triplane_mapping_ms": round(alt_enc["TriPlane"][1], 2),
+        **wall,
         "n_params": int(n_params),
         "device": str(jax.devices()[0]),
     }))
+
+
+def _measure_wall_fps(n_frames: int = 110, H: int = 480, W: int = 640):
+    """End-to-end steady-state frame rate of CoSLAM.run() at the
+    flagship operating point (same knobs as configs/Replica/room0_vm)."""
+    from coslam_tpu.data.synth import (AnalyticScene, make_scan_trajectory,
+                                       make_synthetic_config,
+                                       write_replica_format)
+    from coslam_tpu.runtime.slam import CoSLAM
+
+    work = f"/tmp/bench_sysfps_{H}x{W}_{n_frames}"
+    datadir = os.path.join(work, "scene")
+    cfg = make_synthetic_config(datadir, os.path.join(work, "out"),
+                                H=H, W=W, n_frames=n_frames)
+    cfg["grid"]["enc"] = "TensoVM"
+    cfg["grid"]["triplane_levels"] = 3
+    cfg["training"]["n_samples_d"] = 16
+    cfg["training"]["n_range_d"] = 11
+    cfg["mapping"]["first_iters"] = 200
+    cfg["mapping"]["sample"] = 2048
+    cfg["tracking"]["sample"] = 1024
+    cfg["tracking"]["iter"] = 10
+    cfg["mesh"]["vis"] = 0
+    cam = cfg["cam"]
+    stamp = os.path.join(datadir, ".done")
+    if not os.path.exists(stamp):
+        write_replica_format(datadir, AnalyticScene(),
+                             make_scan_trajectory(n_frames),
+                             cam["H"], cam["W"], cam["fx"], cam["fy"],
+                             cam["cx"], cam["cy"])
+        open(stamp, "w").close()
+    slam = CoSLAM(cfg)
+    slam.run(verbose=False, eval_ate=False)
+    walls = slam.frame_walls
+    # Steady-state window: past the once-per-process megastep cache
+    # loads AND past the keyframe count where BA switches to its
+    # small-current-block variant (the long-run operating regime).
+    lo = max(8, (slam._ba_small_min_kf + 1)
+             * cfg["mapping"]["keyframe_every"])
+    hi = len(walls) - 1
+    if hi - lo < 10:
+        lo = max(8, hi - 10)
+    dts = np.diff(walls[lo:hi + 1]) * 1e3
+    # The tunneled dev link injects occasional 100-500 ms RPC
+    # stragglers unrelated to the workload; report the raw window FPS
+    # plus the frame-time distribution so both are visible.
+    return {
+        "system_fps_wall_measured": round((hi - lo)
+                                          / (walls[hi] - walls[lo]), 2),
+        "system_frame_ms_p50": round(float(np.percentile(dts, 50)), 1),
+        "system_frame_ms_p90": round(float(np.percentile(dts, 90)), 1),
+    }
 
 
 if __name__ == "__main__":

@@ -260,3 +260,38 @@ def test_current_frame_mapping_path(tmp_path):
     res = slam.run(verbose=False, eval_ate=True)
     assert np.isfinite(res["absolute_translational_error.rmse"])
     assert res["absolute_translational_error.rmse"] < 0.05
+
+
+def test_quantized_frame_block_matches_f32(tmp_path):
+    """The quantized (uint8 rgb / uint16 depth) frame-block upload path
+    dequantizes to within its quantization steps of the f32 path: rgb
+    exact for uint8-sourced images, depth within (max depth)/65535."""
+    datadir = str(tmp_path / "scene")
+    cfg = make_synthetic_config(datadir, str(tmp_path / "out"), H=24,
+                                W=32, n_frames=2)
+    scene = AnalyticScene()
+    poses = make_trajectory(2, orbit_fraction=0.01)
+    cam = cfg["cam"]
+    write_replica_format(datadir, scene, poses, cam["H"], cam["W"],
+                         cam["fx"], cam["fy"], cam["cx"], cam["cy"])
+    slam = CoSLAM(cfg)
+    assert slam._quant_upload  # default on
+    batch = slam.dataset[0]
+    blk_q = np.asarray(slam._frame_block(batch))
+    blk_f = np.asarray(slam._assemble_block_f32(
+        slam._device_dirs(batch["direction"]),
+        jnp.asarray(np.asarray(batch["rgb"], np.float32)),
+        jnp.asarray(np.asarray(batch["depth"], np.float32))))
+    assert blk_q.shape == blk_f.shape
+    np.testing.assert_array_equal(blk_q[:, :3], blk_f[:, :3])  # dirs
+    # rgb: loader produced u8/255, so the round-trip is exact.
+    np.testing.assert_allclose(blk_q[:, 3:6], blk_f[:, 3:6], atol=1e-6)
+    # depth: one quantization step at this frame's max depth.
+    step = max(float(np.asarray(batch["depth"]).max()), 1e-6) / 65535.0
+    np.testing.assert_allclose(blk_q[:, 6], blk_f[:, 6], atol=step)
+
+    # The config gate restores bit-exact f32 streaming.
+    cfg2 = {**cfg, "data": {**cfg["data"], "quantize_upload": False}}
+    slam2 = CoSLAM(cfg2)
+    blk2 = np.asarray(slam2._frame_block(slam2.dataset[0]))
+    np.testing.assert_array_equal(blk2, blk_f)
