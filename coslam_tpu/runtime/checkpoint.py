@@ -3,12 +3,20 @@
 Replaces the reference's torch.save dict checkpoint (reference
 coslam.py:112-129) with a numpy .npz of the flattened parameter pytree
 plus pose arrays; consumed by mesh culling and ATE tooling the same way.
+
+Writes are ATOMIC (tmp file + rename): a crash mid-write leaves the
+previous checkpoint intact instead of a truncated .npz, so `--ckpt auto`
+always finds a loadable file. AsyncCheckpointWriter moves the
+device->host transfers and the file write off the frame loop's critical
+path (the resume checkpoint carries the keyframe ray reservoir — tens
+of MB that would otherwise stall every ckpt_every-th frame).
 """
 
 from __future__ import annotations
 
 import os
 import pickle
+import threading
 from typing import Dict, Tuple
 
 import jax
@@ -43,8 +51,56 @@ def save_ckpt(path: str, params, est_c2w: np.ndarray,
                 payload[f"exn_{k}"] = len(kleaves)
                 for i, leaf in enumerate(kleaves):
                     payload[f"exleaf_{k}_{i}"] = np.asarray(leaf)
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez(path, **payload)
+    path = os.path.abspath(path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:  # explicit handle: savez must not append .npz
+        np.savez(f, **payload)
+    os.replace(tmp, path)
+
+
+class AsyncCheckpointWriter:
+    """Background checkpoint writer: at most ONE write in flight.
+
+    JAX device arrays are immutable, so the caller can hand them (or
+    whole parameter/optimizer pytrees) straight to ``submit``; the
+    worker thread then pays the device->host transfers and the file
+    write while the frame loop keeps dispatching device work. Mutable
+    HOST state (pose tables, RNG snapshots) must be copied by the
+    caller BEFORE submit — the snapshot semantics are the caller's.
+
+    ``submit`` first joins any previous in-flight write (single-flight:
+    checkpoints land in order and at most one buffer set is alive);
+    ``wait`` joins and re-raises any worker exception. Combined with
+    save_ckpt's atomic rename, a crash at any point leaves the newest
+    COMPLETED checkpoint loadable.
+    """
+
+    def __init__(self):
+        self._thread: threading.Thread = None
+        self._exc: BaseException = None
+
+    def submit(self, path: str, params, est_c2w, est_c2w_rel,
+               extra: Dict = None) -> None:
+        self.wait()
+
+        def _write():
+            try:
+                save_ckpt(path, params, est_c2w, est_c2w_rel, extra)
+            except BaseException as e:  # surfaced at the next wait()
+                self._exc = e
+
+        self._thread = threading.Thread(target=_write, daemon=True,
+                                        name="ckpt-writer")
+        self._thread.start()
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc
 
 
 def load_ckpt(path: str) -> Tuple[object, np.ndarray, Dict[int, np.ndarray],

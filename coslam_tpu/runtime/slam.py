@@ -35,7 +35,7 @@ import numpy as np
 
 from ..data import get_dataset
 from ..models.scene_rep import JointEncoding
-from .checkpoint import load_ckpt, save_ckpt
+from .checkpoint import AsyncCheckpointWriter, load_ckpt, save_ckpt
 from .keyframe import KeyFrameDatabase
 from .mapping import (make_ba_step, make_current_frame_step,
                       make_first_frame_step)
@@ -179,6 +179,7 @@ class CoSLAM:
         self.defer_readback = False   # set by run(); subclasses stay sync
         self._chain: Dict[int, jnp.ndarray] = {}   # frame id -> device [4,4]
         self._pending = []   # FIFO of ("track"|"ba", ...) readback entries
+        self._ckpt_writer = AsyncCheckpointWriter()
         self._last_track_info = (float("nan"),) * 3
 
         def _rigid_inv(m):
@@ -589,31 +590,52 @@ class CoSLAM:
         self.timings["mesh"].append((time.perf_counter() - t0) * 1e3)
         return mesh_path
 
-    def save_checkpoint(self, path: str, frame_cursor: Optional[int] = None):
+    def save_checkpoint(self, path: str, frame_cursor: Optional[int] = None,
+                        async_write: bool = False):
         """Full crash-resume state: params + pose tables + keyframe DB
         (ray buffer, ids, count, wrap pointer, device pose array) +
         optimizer state + RNG streams. ``frame_cursor`` is the index of
         the next unprocessed frame; periodic ckpt_every saves pass it so
         `--ckpt` resumes mid-sequence (the reference only ever saves
-        model+poses at sequence end, coslam.py:709-712)."""
+        model+poses at sequence end, coslam.py:709-712).
+
+        async_write: hand the write to a background thread (used by the
+        periodic ckpt_every path so the d2h transfer of the keyframe
+        reservoir + the file write overlap the next frames' device
+        work). Device arrays are immutable, so they snapshot for free
+        — EXCEPT the keyframe ring, whose buffer is donated to the next
+        add_keyframe step (keyframe.py _add, donate_argnums=(0,)) and
+        would be deleted under the in-flight writer; it gets a cheap
+        HBM-to-HBM copy at submit time. Mutable host state (pose
+        tables, RNG) is copied here too — the checkpoint's content is
+        identical either way."""
         import pickle
 
         self._resolve_track_pending()
+        self._ckpt_writer.wait()  # previous async write must land first
 
         extra = {
-            "kf_rays": np.asarray(self.kf_db.rays),
-            "kf_frame_ids": np.asarray(self.kf_db.frame_ids),
+            # jnp.copy: detach from the donation chain (see docstring).
+            "kf_rays": (jnp.copy(self.kf_db.rays) if async_write
+                        else self.kf_db.rays),
+            "kf_frame_ids": self.kf_db.frame_ids.copy(),
             "kf_count": np.int64(self.kf_db.count),
             "kf_wrap_ptr": np.int64(self.kf_db._wrap_ptr),
-            "kf_poses": np.asarray(self.kf_poses),
-            "jax_key": np.asarray(self.key),
+            "kf_poses": self.kf_poses,
+            "jax_key": self.key,
             "np_rng_state": np.frombuffer(
                 pickle.dumps(self._rng.bit_generator.state), np.uint8),
             "opt_state": self.map_opt_state,
         }
         if frame_cursor is not None:
             extra["frame_cursor"] = np.int64(frame_cursor)
-        save_ckpt(path, self.params, self.est_c2w, self.est_c2w_rel, extra)
+        if async_write:
+            self._ckpt_writer.submit(path, self.params, self.est_c2w.copy(),
+                                     {k: v.copy() for k, v
+                                      in self.est_c2w_rel.items()}, extra)
+        else:
+            save_ckpt(path, self.params, self.est_c2w, self.est_c2w_rel,
+                      extra)
 
     def load_checkpoint(self, path: str) -> int:
         """Restores everything save_checkpoint wrote (legacy slim
@@ -714,7 +736,7 @@ class CoSLAM:
             if ckpt_every and i > start_frame and i % ckpt_every == 0:
                 # State covers frames [0, i): resume continues AT i.
                 self.save_checkpoint(os.path.join(out, f"checkpoint{i}.npz"),
-                                     frame_cursor=i)
+                                     frame_cursor=i, async_write=True)
             if i == 0:
                 loss = self.first_frame_mapping(batch)
                 if cfg["mapping"]["first_mesh"]:

@@ -161,6 +161,33 @@ def test_checkpoint_roundtrip(tmp_path, trained_scene):
     assert all(np.allclose(a, b) for a, b in zip(l1, l2))
 
 
+def test_async_checkpoint_snapshot(tmp_path, trained_scene):
+    """AsyncCheckpointWriter writes the state AS OF submit time (device
+    arrays are immutable; host copies are the caller's contract — here
+    we mutate the caller's array after submit and the file must hold
+    the pre-mutation values), atomically (no .tmp left behind)."""
+    cfg, scene, pose0, model, params, _, _ = trained_scene
+    from coslam_tpu.runtime.checkpoint import AsyncCheckpointWriter, load_ckpt
+
+    est = np.tile(np.eye(4, dtype=np.float32), (5, 1, 1))
+    rel = {1: np.asarray(pose0, np.float32)}
+    p = str(tmp_path / "ck_async.npz")
+    w = AsyncCheckpointWriter()
+    w.submit(p, params, est.copy(), {k: v.copy() for k, v in rel.items()},
+             {"frame_cursor": np.int64(6)})
+    est[:] = -1.0  # racing caller-side mutation; copies were taken above
+    w.wait()
+    assert os.path.exists(p) and not os.path.exists(p + ".tmp")
+    params2, est2, rel2, extra2 = load_ckpt(p)
+    np.testing.assert_array_equal(
+        est2, np.tile(np.eye(4, dtype=np.float32), (5, 1, 1)))
+    np.testing.assert_allclose(rel2[1], np.asarray(pose0, np.float32))
+    assert int(extra2["frame_cursor"]) == 6
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params2)):
+        assert np.allclose(np.asarray(a), b)
+
+
 def test_ba_static_schedule_matches_masked():
     """The specialized map_accum_step=1/map_wait_step=0 BA path (direct
     optimizer step, no accumulator) must match the general masked path.
