@@ -251,14 +251,14 @@ class ActiveCoSLAM(CoSLAM):
                     train_ds, holdout, verbose=verbose)
 
             if cfg["mesh"]["vis"] and i % cfg["mesh"]["vis"] == 0:
-                try:
-                    self.save_mesh(i, voxel_size=cfg["mesh"]["voxel_eval"])
-                except Exception as e:
-                    print(f"mesh save failed: {e}")
+                # Off-thread like the base runtime (no periodic ATE in
+                # the reference fork's loop).
+                self._periodic_mesh_eval(i, out, eval_ate=False)
             i += 1
 
         self.train_set_size = len(train_ds)  # final i_end (ac_coslam:1172)
         i = len(train_ds) - 1
+        self._mesh_worker.wait()  # periodic meshes land before the final
         try:
             # Final mesh under the CoSLAM.run naming contract (indexed by
             # the SEQUENCE's last frame) so eval/benchmark.py finds it.

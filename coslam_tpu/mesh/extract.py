@@ -10,7 +10,6 @@ vertex normals).
 
 from __future__ import annotations
 
-from functools import lru_cache
 from typing import Dict, Optional
 
 import jax
@@ -21,6 +20,22 @@ from .io import TriMesh
 from .mcubes import marching_cubes
 
 CHUNK = 1024 * 64
+
+
+def _model_jit(model, name: str, build):
+    """Per-model cache of the jitted query functions, with params passed
+    as an ARGUMENT. Closing over the params pytree instead (the obvious
+    `jax.jit(lambda p: model.query_sdf(params, p))`) bakes the arrays in
+    as trace constants, so every extraction with updated parameters — in
+    a SLAM run, every single one — misses the jit cache and recompiles
+    the query (~seconds per periodic mesh on a slow host)."""
+    cache = getattr(model, "_mesh_jit_cache", None)
+    if cache is None:
+        cache = model._mesh_jit_cache = {}
+    fn = cache.get(name)
+    if fn is None:
+        fn = cache[name] = jax.jit(build())
+    return fn
 
 
 def get_voxels(x_max, x_min, y_max, y_min, z_max, z_min,
@@ -77,8 +92,10 @@ def extract_mesh(model, params, config: Dict, bounding_box: np.ndarray,
     # Normalize to the scene bounding box (tcnn convention).
     flat_norm = (flat - bb[:, 0]) / (bb[:, 1] - bb[:, 0])
 
-    sdf_query = jax.jit(lambda p: model.query_sdf(params, p))
-    raw = _chunked_query(sdf_query, flat_norm.astype(np.float32), 1)
+    sdf_jit = _model_jit(model, "query_sdf",
+                         lambda: (lambda pr, p: model.query_sdf(pr, p)))
+    raw = _chunked_query(lambda p: sdf_jit(params, p),
+                         flat_norm.astype(np.float32), 1)
     volume = raw.reshape(len(tx), len(ty), len(tz))
 
     vertices, triangles = marching_cubes(volume, isolevel, truncation=3.0)
@@ -94,16 +111,20 @@ def extract_mesh(model, params, config: Dict, bounding_box: np.ndarray,
                 - config["data"]["translation"])
 
     vertex_colors = None
+    cf_name = getattr(color_func, "__name__", "color_func")
     if color_func is not None and not config["mesh"]["render_color"]:
         vert_norm = (vertices - bb[:, 0]) / (bb[:, 1] - bb[:, 0])
-        color_query = jax.jit(lambda p: color_func(params, p))
-        vertex_colors = _chunked_query(color_query,
+        color_jit = _model_jit(model, f"pt:{cf_name}",
+                               lambda: (lambda pr, p: color_func(pr, p)))
+        vertex_colors = _chunked_query(lambda p: color_jit(params, p),
                                        vert_norm.astype(np.float32), 3)
     elif color_func is not None and config["mesh"]["render_color"]:
         mesh_tmp = TriMesh(vertices, triangles)
         normals = mesh_tmp.vertex_normals.astype(np.float32)
-        surf_query = jax.jit(
-            lambda p, nrm: color_func(params, p[:, None, :], nrm))
+        surf_query_jit = _model_jit(
+            model, f"surf:{cf_name}",
+            lambda: (lambda pr, p, nrm: color_func(pr, p[:, None, :], nrm)))
+        surf_query = lambda p, nrm: surf_query_jit(params, p, nrm)  # noqa: E731
         n = vertices.shape[0]
         cols = []
         for i in range(0, n, CHUNK):

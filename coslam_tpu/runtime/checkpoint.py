@@ -59,39 +59,32 @@ def save_ckpt(path: str, params, est_c2w: np.ndarray,
     os.replace(tmp, path)
 
 
-class AsyncCheckpointWriter:
-    """Background checkpoint writer: at most ONE write in flight.
+class SingleFlightWorker:
+    """Run thunks on a background thread, at most ONE in flight.
 
-    JAX device arrays are immutable, so the caller can hand them (or
-    whole parameter/optimizer pytrees) straight to ``submit``; the
-    worker thread then pays the device->host transfers and the file
-    write while the frame loop keeps dispatching device work. Mutable
-    HOST state (pose tables, RNG snapshots) must be copied by the
-    caller BEFORE submit — the snapshot semantics are the caller's.
-
-    ``submit`` first joins any previous in-flight write (single-flight:
-    checkpoints land in order and at most one buffer set is alive);
-    ``wait`` joins and re-raises any worker exception. Combined with
-    save_ckpt's atomic rename, a crash at any point leaves the newest
-    COMPLETED checkpoint loadable.
+    ``submit`` first joins any previous in-flight job (jobs land in
+    submission order and at most one job's buffers are alive); ``wait``
+    joins and re-raises any worker exception. The caller owns snapshot
+    semantics: JAX device arrays are immutable and can be handed over
+    as-is, mutable host state must be copied BEFORE submit.
     """
 
-    def __init__(self):
+    def __init__(self, name: str = "bg-worker"):
+        self._name = name
         self._thread: threading.Thread = None
         self._exc: BaseException = None
 
-    def submit(self, path: str, params, est_c2w, est_c2w_rel,
-               extra: Dict = None) -> None:
+    def submit(self, fn, *args, **kwargs) -> None:
         self.wait()
 
-        def _write():
+        def _run():
             try:
-                save_ckpt(path, params, est_c2w, est_c2w_rel, extra)
+                fn(*args, **kwargs)
             except BaseException as e:  # surfaced at the next wait()
                 self._exc = e
 
-        self._thread = threading.Thread(target=_write, daemon=True,
-                                        name="ckpt-writer")
+        self._thread = threading.Thread(target=_run, daemon=True,
+                                        name=self._name)
         self._thread.start()
 
     def wait(self) -> None:
@@ -101,6 +94,21 @@ class AsyncCheckpointWriter:
         if self._exc is not None:
             exc, self._exc = self._exc, None
             raise exc
+
+
+class AsyncCheckpointWriter(SingleFlightWorker):
+    """Background checkpoint writer: the worker thread pays the
+    device->host transfers and the file write while the frame loop keeps
+    dispatching device work. Combined with save_ckpt's atomic rename, a
+    crash at any point leaves the newest COMPLETED checkpoint loadable.
+    """
+
+    def __init__(self):
+        super().__init__(name="ckpt-writer")
+
+    def submit(self, path: str, params, est_c2w, est_c2w_rel,
+               extra: Dict = None) -> None:
+        super().submit(save_ckpt, path, params, est_c2w, est_c2w_rel, extra)
 
 
 def load_ckpt(path: str) -> Tuple[object, np.ndarray, Dict[int, np.ndarray],

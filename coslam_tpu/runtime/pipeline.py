@@ -116,6 +116,15 @@ class PipelinedCoSLAM(CoSLAM):
                     self.add_keyframe(batch)
                 self._publish_params()
                 self.mapping_idx = next_map
+                # Periodic mesh + ATE from the mapper, like the reference
+                # (mp_slam/mapper.py:222-231) — handed to the single-flight
+                # mesh worker so BA keeps its cadence. The pose-table
+                # snapshot may catch the tracker mid-frame (full-row
+                # writes); the reference's mp mode tolerates the same
+                # benign race on its shared pose tensor.
+                vis = cfg["mesh"]["vis"]
+                if vis and next_map % vis == 0:
+                    self._periodic_mesh_eval(next_map, *self._vis_ctx)
                 next_map += map_every
             self.mapping_idx = total  # release any throttled tracker
         except BaseException as e:
@@ -139,6 +148,7 @@ class PipelinedCoSLAM(CoSLAM):
 
         self.est_c2w[0] = np.asarray(self.dataset[0]["c2w"], np.float32)
         self._publish_params()
+        self._vis_ctx = (out, eval_ate)
 
         mapper = threading.Thread(target=self._mapper_loop, args=(total,),
                                   name="mapper")
@@ -149,6 +159,7 @@ class PipelinedCoSLAM(CoSLAM):
         tracker.join()
         self._stop_mapper_when_done(total)
         mapper.join()
+        self._mesh_worker.wait()  # periodic mesh/eval jobs land first
         if self._error is not None:
             raise self._error
 

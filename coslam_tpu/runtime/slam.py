@@ -35,7 +35,8 @@ import numpy as np
 
 from ..data import get_dataset
 from ..models.scene_rep import JointEncoding
-from .checkpoint import AsyncCheckpointWriter, load_ckpt, save_ckpt
+from .checkpoint import (AsyncCheckpointWriter, SingleFlightWorker,
+                         load_ckpt, save_ckpt)
 from .keyframe import KeyFrameDatabase
 from .mapping import (make_ba_step, make_current_frame_step,
                       make_first_frame_step)
@@ -180,6 +181,7 @@ class CoSLAM:
         self._chain: Dict[int, jnp.ndarray] = {}   # frame id -> device [4,4]
         self._pending = []   # FIFO of ("track"|"ba", ...) readback entries
         self._ckpt_writer = AsyncCheckpointWriter()
+        self._mesh_worker = SingleFlightWorker("mesh-eval")
         self._last_track_info = (float("nan"),) * 3
 
         def _rigid_inv(m):
@@ -563,6 +565,11 @@ class CoSLAM:
         kf_every = self.config["mapping"]["keyframe_every"]
         poses = {}
         for i in range(len(self.est_c2w)):
+            if not np.any(self.est_c2w[i]):
+                # Untracked frame (the table is preallocated; a mid-run
+                # periodic evaluation stops at the current frame — the
+                # reference's est_c2w_data dict simply has no such keys).
+                continue
             if i % kf_every == 0:
                 poses[i] = self.est_c2w[i]
             else:
@@ -573,7 +580,11 @@ class CoSLAM:
                             ).astype(np.float32)
         return poses
 
-    def save_mesh(self, i: int, voxel_size: float = 0.05):
+    def save_mesh(self, i: int, voxel_size: float = 0.05, params=None):
+        """params: optional explicit parameter snapshot (the async
+        periodic path extracts from the submit-time parameters while
+        the frame loop keeps updating self.params — device arrays are
+        immutable, so the snapshot is free)."""
         from ..mesh.extract import extract_mesh
 
         t0 = time.perf_counter()
@@ -583,12 +594,50 @@ class CoSLAM:
         color_fn = (self.model.render_surface_color
                     if self.config["mesh"]["render_color"]
                     else self.model.query_color)
-        extract_mesh(self.model, self.params, self.config, self.bounding_box,
+        extract_mesh(self.model,
+                     self.params if params is None else params,
+                     self.config, self.bounding_box,
                      marching_cube_bound=self.marching_cube_bound,
                      color_func=color_fn, voxel_size=voxel_size,
                      mesh_savepath=mesh_path)
         self.timings["mesh"].append((time.perf_counter() - t0) * 1e3)
         return mesh_path
+
+    def _periodic_mesh_eval(self, i: int, out: str, eval_ate: bool):
+        """Periodic mesh + ATE on the mesh.vis cadence, OFF the frame
+        loop's critical path (the reference blocks its loop for seconds
+        here, coslam.py:689-696): parameters are an immutable device
+        snapshot, pose tables are host-copied at submit time, and the
+        single-flight worker pays the chunked SDF readbacks, marching
+        cubes, PLY write, and trajectory plots while the next frames
+        keep tracking (device queries interleave with the frame steps;
+        the host/tunnel cost — which dominates — fully overlaps).
+        `mesh.async_vis: false` restores the reference's synchronous
+        sequencing."""
+        from ..eval.ate import pose_evaluation
+
+        params = self.params
+        est = rel = None
+        if eval_ate:
+            est = {k: np.array(v) for k, v in self._pose_dict().items()}
+            rel = {k: np.array(v)
+                   for k, v in self.convert_relative_pose().items()}
+        voxel = self.config["mesh"]["voxel_eval"]
+
+        def job():
+            try:
+                self.save_mesh(i, voxel_size=voxel, params=params)
+            except Exception as e:
+                print(f"mesh save failed: {e}")
+            if eval_ate:
+                pose_evaluation(self.pose_gt, est, 1, out, i)
+                pose_evaluation(self.pose_gt, rel, 1, out, i, img="pose_r",
+                                name="output_relative.txt")
+
+        if self.config["mesh"].get("async_vis", True):
+            self._mesh_worker.submit(job)
+        else:
+            job()
 
     def save_checkpoint(self, path: str, frame_cursor: Optional[int] = None,
                         async_write: bool = False):
@@ -765,19 +814,13 @@ class CoSLAM:
                 self.add_keyframe(batch)
 
             if cfg["mesh"]["vis"] and i % cfg["mesh"]["vis"] == 0:
-                try:
-                    self.save_mesh(i, voxel_size=cfg["mesh"]["voxel_eval"])
-                except Exception as e:
-                    print(f"mesh save failed: {e}")
-                if eval_ate:
-                    pose_evaluation(self.pose_gt, self._pose_dict(), 1,
-                                    out, i)
-                    pose_evaluation(self.pose_gt, self.convert_relative_pose(),
-                                    1, out, i, img="pose_r",
-                                    name="output_relative.txt")
+                self._periodic_mesh_eval(i, out, eval_ate)
 
         self._resolve_track_pending()  # count in-flight device work
         self.frame_walls.append(time.perf_counter())
+        # Periodic mesh/eval jobs land before the final artifacts (the
+        # output.txt appends stay in frame order).
+        self._mesh_worker.wait()
         i = total - 1
         # cursor=total: --ckpt auto on a finished run re-finalizes
         # (empty loop + mesh/eval) instead of re-running from frame 0.

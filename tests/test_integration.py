@@ -322,3 +322,37 @@ def test_quantized_frame_block_matches_f32(tmp_path):
     slam2 = CoSLAM(cfg2)
     blk2 = np.asarray(slam2._frame_block(slam2.dataset[0]))
     np.testing.assert_array_equal(blk2, blk_f)
+
+
+def test_async_periodic_mesh_eval(tmp_path):
+    """mesh.async_vis: the vis-cadence mesh+ATE jobs run on the
+    background worker from submit-time snapshots, so they produce
+    byte-identical artifacts to the synchronous path, and every
+    periodic artifact is on disk by the time run() returns."""
+    outs = {}
+    for mode in ("async", "sync"):
+        d = tmp_path / mode
+        datadir = str(d / "scene")
+        cfg = make_synthetic_config(datadir, str(d / "out"), H=40, W=52,
+                                    n_frames=12)
+        cfg["mapping"]["first_iters"] = 150
+        cfg["mesh"]["vis"] = 5
+        cfg["mesh"]["voxel_eval"] = 0.12
+        cfg["mesh"]["async_vis"] = (mode == "async")
+        scene = AnalyticScene()
+        poses = make_trajectory(12, orbit_fraction=0.02)
+        cam = cfg["cam"]
+        write_replica_format(datadir, scene, poses, cam["H"], cam["W"],
+                             cam["fx"], cam["fy"], cam["cx"], cam["cy"])
+        slam = CoSLAM(cfg)
+        slam.run(verbose=False, eval_ate=True)
+        out = os.path.join(cfg["data"]["output"], cfg["data"]["exp_name"])
+        for f in ("mesh_track5.ply", "mesh_track10.ply", "output.txt",
+                  "pose_5.png", "pose_r_10.png"):
+            assert os.path.exists(os.path.join(out, f)), (mode, f)
+        outs[mode] = out
+    for f in ("mesh_track5.ply", "mesh_track10.ply", "output.txt",
+              "output_relative.txt"):
+        with open(os.path.join(outs["async"], f), "rb") as fa, \
+                open(os.path.join(outs["sync"], f), "rb") as fb:
+            assert fa.read() == fb.read(), f

@@ -213,3 +213,25 @@ def test_detach_nll_gradient_isolation(small_seq):
     cos = float(jnp.vdot(va, vb) /
                 (jnp.linalg.norm(va) * jnp.linalg.norm(vb) + 1e-12))
     assert cos > 0.99
+
+
+def test_pipelined_periodic_mesh(small_seq):
+    """The mapper runs periodic mesh+ATE at the mesh.vis cadence like
+    the reference's mp mapper (mp_slam/mapper.py:222-231), handed to the
+    single-flight mesh worker; all artifacts are on disk at return."""
+    import copy
+    import os
+
+    from coslam_tpu.runtime.pipeline import PipelinedCoSLAM
+
+    cfg = copy.deepcopy(small_seq)
+    cfg["mesh"]["vis"] = 5
+    cfg["mesh"]["voxel_eval"] = 0.12
+    cfg["data"]["exp_name"] = "pipe_vis"
+    slam = PipelinedCoSLAM(cfg)
+    res = slam.run(verbose=False, eval_ate=True)
+    assert np.isfinite(res["absolute_translational_error.rmse"])
+    out = os.path.join(cfg["data"]["output"], cfg["data"]["exp_name"])
+    for f in ("mesh_track5.ply", "mesh_track10.ply", "output.txt",
+              "pose_5.png"):
+        assert os.path.exists(os.path.join(out, f)), f
