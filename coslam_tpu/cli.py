@@ -35,6 +35,14 @@ def main(argv=None):
     parser.add_argument("--devices", type=int, default=None,
                         help="shard ray batches over N devices "
                              "(data-parallel mesh; overrides parallel.dp)")
+    parser.add_argument("--pipelined", action="store_true",
+                        help="concurrent tracker/mapper runtime (the "
+                             "reference's coslam_mp.py mode); with 2+ "
+                             "devices the mapper runs on the second chip")
+    parser.add_argument("--active", action="store_true",
+                        help="ActiveCoSLAM info-gain variant (reference "
+                             "ActiveCoSLAM/ac_coslam.py); auto-selected "
+                             "when the config sets active.isActive")
     args = parser.parse_args(argv)
 
     # Persistent compilation cache (first compile of the megasteps is slow).
@@ -62,7 +70,19 @@ def main(argv=None):
               encoding="utf-8") as f:
         f.write(json.dumps(cfg, indent=4))
 
-    slam = CoSLAM(cfg)
+    use_active = args.active or bool(
+        (cfg.get("active") or {}).get("isActive"))
+    if use_active and args.pipelined:
+        raise SystemExit("--active and --pipelined are mutually exclusive "
+                         "(the reference's ac_coslam.py is sequential)")
+    if use_active:
+        from .active.slam import ActiveCoSLAM as slam_cls
+    elif args.pipelined:
+        from .runtime.pipeline import PipelinedCoSLAM as slam_cls
+    else:
+        slam_cls = CoSLAM
+
+    slam = slam_cls(cfg)
     slam.seed_everything(0)
     start_frame = 0
     if args.ckpt:
@@ -83,11 +103,20 @@ def main(argv=None):
             ckpt_path = max(cands, key=lambda p: int(
                 re.search(r"checkpoint(\d+)", p).group(1)))
             print(f"--ckpt auto -> {ckpt_path}")
+        if use_active:
+            raise SystemExit("--ckpt resume is not supported for the "
+                             "active variant (its train set grows "
+                             "dynamically; rerun from frame 0)")
         start_frame = slam.load_checkpoint(ckpt_path)
         if start_frame:
             print(f"resuming from frame {start_frame}")
-    slam.run(n_frames=args.max_frames, start_frame=start_frame,
-             ckpt_every=args.ckpt_every)
+    if use_active:
+        if args.ckpt_every:
+            print("--ckpt_every ignored in active mode")
+        slam.run(n_frames=args.max_frames)
+    else:
+        slam.run(n_frames=args.max_frames, start_frame=start_frame,
+                 ckpt_every=args.ckpt_every)
 
 
 if __name__ == "__main__":

@@ -29,6 +29,7 @@ import time
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .slam import CoSLAM
@@ -36,11 +37,28 @@ from .slam import CoSLAM
 
 class PipelinedCoSLAM(CoSLAM):
     def __init__(self, config: Dict, dataset=None, devices=None):
-        super().__init__(config, dataset)
+        # _next_key runs inside super().__init__ (init_params) — the
+        # lock and device attributes it reads must exist first.
+        self._key_lock = threading.Lock()
         self.devices = devices or jax.devices()
         self.tracker_device = self.devices[0]
         self.mapper_device = self.devices[1] if len(self.devices) > 1 \
             else self.devices[0]
+        super().__init__(config, dataset)
+        if self.mapper_device is not self.tracker_device:
+            # Pin the mapper-owned state to the second device so BA,
+            # keyframe insertion, and mesh queries actually execute
+            # there, concurrent with tracking on device 0; parameter
+            # snapshots cross back over ICI in _publish_params. (The
+            # keyframe ring keeps its donation chain — donation is
+            # per-device and every add_keyframe now runs on the mapper
+            # device.)
+            self.params = jax.device_put(self.params, self.mapper_device)
+            self.map_opt_state = jax.device_put(self.map_opt_state,
+                                                self.mapper_device)
+            self.kf_db.rays = jax.device_put(self.kf_db.rays,
+                                             self.mapper_device)
+            self.kf_poses = jax.device_put(self.kf_poses, self.mapper_device)
 
         # Shared state (single-writer flags, like the reference's
         # mapping_idx / tracking_idx / mapping_first_frame).
@@ -53,6 +71,47 @@ class PipelinedCoSLAM(CoSLAM):
         self._frames: Dict[int, Dict] = {}
         self._frames_lock = threading.Lock()
 
+    def _next_key(self):
+        # Both threads consume the shared jax RNG stream; without the
+        # guard a read-split-write interleave could hand the SAME subkey
+        # to a tracking step and a BA step.
+        with self._key_lock:
+            k = super()._next_key()
+        # jit outputs are committed to their execution device (device 0
+        # here); mapper-side steps need mapper-committed inputs.
+        if (self.tracker_device is not self.mapper_device
+                and threading.current_thread().name == "mapper"):
+            return jax.device_put(k, self.mapper_device)
+        return k
+
+    def _frame_block(self, batch):
+        """Frame blocks are assembled (and prefetch-staged) on the
+        tracker device; their pipelined consumers (global_BA, keyframe
+        insertion, first-frame mapping) all run on the mapper device —
+        move once and cache on the batch."""
+        blk = super()._frame_block(batch)
+        if self.tracker_device is self.mapper_device:
+            return blk
+        blk_m = batch.get("_dev_block_mapper")
+        if blk_m is None:
+            blk_m = jax.device_put(blk, self.mapper_device)
+            batch["_dev_block_mapper"] = blk_m
+        return blk_m
+
+    def _to_tracker(self, x):
+        if self.tracker_device is not self.mapper_device:
+            return jax.device_put(x, self.tracker_device)
+        return x
+
+    def _pose_dev(self, frame_id: int):
+        # Chain poses are tracker-committed; the callers of _pose_dev
+        # (global_BA / add_keyframe / current_frame_mapping) all run on
+        # the mapper device.
+        p = super()._pose_dev(frame_id)
+        if self.tracker_device is not self.mapper_device:
+            return jax.device_put(p, self.mapper_device)
+        return p
+
     # -- parameter snapshot handoff -----------------------------------------
 
     def _publish_params(self):
@@ -63,13 +122,30 @@ class PipelinedCoSLAM(CoSLAM):
 
     # -- threads --------------------------------------------------------------
 
-    def _tracker_loop(self, total: int):
+    def _tracker_loop(self, total: int, start: int = 1):
         try:
+            from ..data.prefetch import PrefetchIterator
+
             cfg = self.config
             map_every = cfg["mapping"]["map_every"]
+            kf_every = cfg["mapping"]["keyframe_every"]
+
+            def stage(i, batch):
+                """Prefetch-worker staging, as in the sequential run():
+                pre-upload the tracking rays and (for frames the mapper
+                will consume) the full frame block so h2d transfers hide
+                behind device compute."""
+                batch["_dev_track_rays"] = jnp.asarray(
+                    self._sample_tracking_rays(batch))
+                if i % map_every == 0 or i % kf_every == 0:
+                    self._frame_block(batch)
+                return batch
+
+            frames = PrefetchIterator(self.dataset, total, start=start,
+                                      transform=stage)
             while not self.mapping_first_frame and not self._stop:
                 time.sleep(0.005)
-            for i in range(1, total):
+            for i, batch in frames:
                 if self._stop:
                     return
                 # Throttle: don't run too far ahead of the mapper
@@ -77,33 +153,52 @@ class PipelinedCoSLAM(CoSLAM):
                 while (self.mapping_idx < i - map_every - map_every // 2
                        and not self._stop):
                     time.sleep(0.002)
-                batch = self.dataset[i]
+                self.frame_walls.append(time.perf_counter())
                 # Track against the latest published snapshot WITHOUT
                 # touching self.params — the mapper thread owns it and
                 # writes it concurrently from global_BA; a swap/restore
                 # here could silently discard a finished BA update.
+                # Readbacks are DEFERRED (slam.py module docstring): the
+                # tracked pose stays on the device chain, the packed
+                # result rides an async d2h into the lock-guarded FIFO.
                 self.tracking_render(batch, i, params=self._shared_params)
-                if i % map_every == 0 or i % cfg["mapping"]["keyframe_every"] == 0:
+                if i % map_every == 0 or i % kf_every == 0:
                     with self._frames_lock:
                         self._frames[i] = batch
                 self.tracking_idx = i
+            self.frame_walls.append(time.perf_counter())
         except BaseException as e:  # surface errors to the main thread
             self._error = e
             self._stop = True
 
-    def _mapper_loop(self, total: int):
+    def _mapper_loop(self, total: int, start: int = 1, ckpt_every: int = 0,
+                     out: str = ""):
         try:
+            import os
+
             cfg = self.config
             map_every = cfg["mapping"]["map_every"]
             kf_every = cfg["mapping"]["keyframe_every"]
 
-            batch0 = self.dataset[0]
-            self.first_frame_mapping(batch0)
+            if start <= 1:
+                batch0 = self.dataset[0]
+                self.first_frame_mapping(batch0)
+                next_map = map_every
+            else:
+                # Resume: the map/keyframes up to the cursor were
+                # restored by load_checkpoint; continue BA at the next
+                # mapping cadence point.
+                next_map = ((start - 1) // map_every + 1) * map_every
+                self.mapping_idx = next_map - map_every
             self._publish_params()
             self.mapping_first_frame = True
-
-            next_map = map_every
             while next_map < total and not self._stop:
+                # The tracker must not prune device-chain poses the
+                # mapper still needs (global_BA's cur_pose and the
+                # keyframe insert read _pose_dev(next_map)); raising the
+                # threshold is monotonic, so no entry >= next_map is
+                # ever dropped before this BA consumes it.
+                self._chain_keep = next_map
                 if self.tracking_idx < next_map:
                     time.sleep(0.002)
                     continue
@@ -116,6 +211,15 @@ class PipelinedCoSLAM(CoSLAM):
                     self.add_keyframe(batch)
                 self._publish_params()
                 self.mapping_idx = next_map
+                if ckpt_every and next_map % ckpt_every == 0 \
+                        and next_map > start:
+                    # Consistent resume point: frames [0, next_map] are
+                    # tracked + mapped + keyframed (tracker-ahead frames
+                    # simply re-track on resume). The FIFO drain inside
+                    # save_checkpoint serializes under the pending lock.
+                    self.save_checkpoint(
+                        os.path.join(out, f"checkpoint{next_map}.npz"),
+                        frame_cursor=next_map + 1, async_write=True)
                 # Periodic mesh + ATE from the mapper, like the reference
                 # (mp_slam/mapper.py:222-231) — handed to the single-flight
                 # mesh worker so BA keeps its cadence. The pose-table
@@ -126,6 +230,7 @@ class PipelinedCoSLAM(CoSLAM):
                 if vis and next_map % vis == 0:
                     self._periodic_mesh_eval(next_map, *self._vis_ctx)
                 next_map += map_every
+            self._chain_keep = total  # tracker may prune freely now
             self.mapping_idx = total  # release any throttled tracker
         except BaseException as e:
             self._error = e
@@ -135,7 +240,13 @@ class PipelinedCoSLAM(CoSLAM):
     # -- entry ------------------------------------------------------------------
 
     def run(self, n_frames: Optional[int] = None, verbose: bool = True,
-            eval_ate: bool = True):
+            eval_ate: bool = True, ckpt_every: int = 0,
+            start_frame: int = 0):
+        """ckpt_every: mapper-side periodic resumable checkpoints (the
+        sequential run()'s crash-recovery story for this mode).
+        start_frame: resume cursor from load_checkpoint — frames before
+        it are restored state; tracking restarts there against the
+        restored map."""
         import os
 
         from ..eval.ate import pose_evaluation
@@ -145,15 +256,31 @@ class PipelinedCoSLAM(CoSLAM):
         os.makedirs(out, exist_ok=True)
         total = len(self.dataset) if n_frames is None else min(
             n_frames, len(self.dataset))
+        start = max(1, int(start_frame))
 
-        self.est_c2w[0] = np.asarray(self.dataset[0]["c2w"], np.float32)
+        if start_frame <= 0:
+            self.est_c2w[0] = np.asarray(self.dataset[0]["c2w"], np.float32)
+        else:
+            # Re-seed the device pose chain from the restored table so
+            # the resumed frames take the deferred device-predict path.
+            for fid in (start - 2, start - 1):
+                if fid >= 0 and np.any(self.est_c2w[fid]):
+                    self._chain[fid] = jnp.asarray(self.est_c2w[fid])
         self._publish_params()
         self._vis_ctx = (out, eval_ate)
+        # Deferred readbacks in the tracker (slam.py): per-frame results
+        # ride async d2h copies instead of blocking ~26 ms tunnel RTTs,
+        # so the pipelined mode's wall frame rate is set by the tracking
+        # device step, with BA hidden on the mapper thread.
+        self.defer_readback = True
+        self._chain_keep = 0
+        self.frame_walls = []
 
-        mapper = threading.Thread(target=self._mapper_loop, args=(total,),
+        mapper = threading.Thread(target=self._mapper_loop,
+                                  args=(total, start, ckpt_every, out),
                                   name="mapper")
-        tracker = threading.Thread(target=self._tracker_loop, args=(total,),
-                                   name="tracker")
+        tracker = threading.Thread(target=self._tracker_loop,
+                                   args=(total, start), name="tracker")
         mapper.start()
         tracker.start()
         tracker.join()

@@ -177,9 +177,22 @@ class CoSLAM:
         # the table drains it fully first. The frame loop's serialized
         # host cost drops to the jitted dispatches — the device
         # pipeline, not the tunnel, sets the frame rate.
-        self.defer_readback = False   # set by run(); subclasses stay sync
+        self.defer_readback = False   # set by run()/pipelined run()
         self._chain: Dict[int, jnp.ndarray] = {}   # frame id -> device [4,4]
         self._pending = []   # FIFO of ("track"|"ba", ...) readback entries
+        # FIFO guard: in the pipelined runtime the tracker thread appends
+        # track entries while the mapper appends BA entries and either
+        # side (or the main thread) may drain; resolution is serialized
+        # under the lock so host pose-table writes land in exact
+        # submission order — the same order the synchronous path would
+        # produce. Sequential run() has no contention (uncontended lock
+        # acquisition is ~100 ns, noise next to a 14 ms frame).
+        import threading as _threading
+        self._pending_lock = _threading.Lock()
+        # Oldest frame whose device pose the mapper still needs; the
+        # tracker never prunes chain entries at or above it. None =
+        # sequential semantics (keep the last two frames only).
+        self._chain_keep: Optional[int] = None
         self._ckpt_writer = AsyncCheckpointWriter()
         self._mesh_worker = SingleFlightWorker("mesh-eval")
         self._last_track_info = (float("nan"),) * 3
@@ -257,8 +270,9 @@ class CoSLAM:
         if staged is not None:
             return staged
         fid = int(batch["frame_id"])
-        if self._block_cache[0] == fid:
-            return self._block_cache[1]
+        cached = self._block_cache  # one read: the prefetch worker /
+        if cached[0] == fid:        # pipelined stage thread rebinds it
+            return cached[1]
         dirs = self._device_dirs(batch["direction"])
         if self._quant_upload:
             rgb8 = np.clip(np.rint(np.asarray(batch["rgb"], np.float32)
@@ -333,11 +347,12 @@ class CoSLAM:
         track_params = self.params if params is None else params
         # Deferred-readback fast path: init pose comes from the device
         # chain, the packed result goes back asynchronously. Only the
-        # standard sequential prediction path qualifies (explicit
-        # c2w_init = ActiveCoSLAM out-of-order frames; iter_point = pc
-        # tracking already wrote est_c2w; params = pipelined snapshot).
-        deferred = (self.defer_readback and params is None
-                    and c2w_init is None
+        # standard prediction path qualifies (explicit c2w_init =
+        # ActiveCoSLAM out-of-order frames; iter_point = pc tracking
+        # already wrote est_c2w). A pipelined params snapshot is fine:
+        # the pose chain and the readback FIFO are independent of which
+        # parameter snapshot the step ran against.
+        deferred = (self.defer_readback and c2w_init is None
                     and self.config["tracking"]["iter_point"] <= 0
                     and (frame_id - 1) in self._chain)
         if deferred:
@@ -374,13 +389,15 @@ class CoSLAM:
                                                        c2w_init_dev)
         if self.defer_readback:
             self._chain[frame_id] = c2w_guard
-            for old in [f for f in self._chain if f < frame_id - 1]:
+            keep_from = frame_id - 1
+            if self._chain_keep is not None:  # pipelined: mapper lags
+                keep_from = min(keep_from, self._chain_keep)
+            for old in [f for f in self._chain if f < keep_from]:
                 del self._chain[old]
         self.timings["tracking"].append((time.perf_counter() - t0) * 1e3)
         entry = ("track", frame_id, packed_dev,
                  len(self.timings["tracking"]) - 1)
         if deferred:
-            self._pending.append(entry)
             try:  # start the d2h copy in the background
                 packed_dev.copy_to_host_async()
             except Exception:
@@ -388,12 +405,12 @@ class CoSLAM:
             # Drain OLD entries (their transfers long overlapped device
             # compute); the few newest stay pending — this bounds how
             # far the host can run ahead of the device (backpressure).
-            while len(self._pending) > 3:
-                self._resolve_entry(self._pending.pop(0))
+            with self._pending_lock:
+                self._pending.append(entry)
+                while len(self._pending) > 3:
+                    self._resolve_entry(self._pending.pop(0))
             return None
-        # Sync path (pipelined tracker thread / ActiveCoSLAM / pc-init):
-        # resolve directly — the shared pending list stays untouched, so
-        # a concurrent mapper thread's drain cannot race it.
+        # Sync path (ActiveCoSLAM / pc-init / defer_readback off).
         self._resolve_track_pending()
         self._resolve_entry(entry)
         return self._last_track_info[0]
@@ -456,15 +473,30 @@ class CoSLAM:
                 self.est_c2w[cur_frame_id] = \
                     packed[nk * 16:nk * 16 + 16].reshape(4, 4)
 
+    def _to_tracker(self, x):
+        """Placement hook for device-chain poses produced by the mapper
+        (BA-refreshed keyframe poses). Identity here; the 2-device
+        pipelined runtime overrides it with a device_put to the tracker
+        device so the tracker's jits never see mapper-committed arrays."""
+        return x
+
     def _resolve_track_pending(self):
-        while self._pending:
-            self._resolve_entry(self._pending.pop(0))
+        with self._pending_lock:
+            while self._pending:
+                self._resolve_entry(self._pending.pop(0))
 
     def _pose_dev(self, frame_id: int) -> jnp.ndarray:
         """Device pose for a frame: the chain copy when resident (no
-        upload), else the host table."""
+        upload), else the host table. With deferred readbacks a chain
+        miss drains the FIFO first — the host row may still be a
+        pending write (pipelined mapper reading a frame the tracker has
+        already pruned)."""
         p = self._chain.get(frame_id)
-        return p if p is not None else jnp.asarray(self.est_c2w[frame_id])
+        if p is not None:
+            return p
+        if self.defer_readback:
+            self._resolve_track_pending()
+        return jnp.asarray(self.est_c2w[frame_id])
 
     def add_keyframe(self, batch: Dict, frame_rays: Optional[jnp.ndarray] = None):
         """Reference model/keyframe.py:67-94 + coslam.py:685-687."""
@@ -539,21 +571,22 @@ class CoSLAM:
             for slot in range(1, self.kf_db.count):
                 fid = int(self.kf_db.frame_ids[slot])
                 if fid in self._chain:
-                    self._chain[fid] = self.kf_poses[slot]
+                    self._chain[fid] = self._to_tracker(self.kf_poses[slot])
             if (self.config["mapping"]["optim_cur"]
                     and cur_frame_id in self._chain):
-                self._chain[cur_frame_id] = new_cur
+                self._chain[cur_frame_id] = self._to_tracker(new_cur)
         self.timings["mapping"].append((time.perf_counter() - t0) * 1e3)
         entry = ("ba", cur_frame_id, packed_dev, self.kf_db.count,
                  np.array(self.kf_db.frame_ids, copy=True),
                  bool(self.config["mapping"]["optim_cur"]),
                  len(self.timings["mapping"]) - 1)
         if self.defer_readback:
-            self._pending.append(entry)
             try:
                 packed_dev.copy_to_host_async()
             except Exception:
                 pass
+            with self._pending_lock:
+                self._pending.append(entry)
             return None
         self._resolve_entry(entry)
         return self._last_ba_loss

@@ -101,6 +101,37 @@ def test_export_roundtrip(tmp_path):
     assert os.path.getsize(out) > 1000
 
 
+def test_cli_pipelined_mode(scene_cfg):
+    """--pipelined runs the concurrent tracker/mapper runtime from the
+    product CLI (the reference's `python coslam_mp.py --config ...`
+    surface) with mapper-side periodic checkpoints, and --ckpt auto
+    resumes it."""
+    cfg, cfg_path = scene_cfg
+    out = os.path.join(cfg["data"]["output"], cfg["data"]["exp_name"])
+    for f in os.listdir(out):  # isolate from the sequential runs
+        if f.startswith("checkpoint"):
+            os.remove(os.path.join(out, f))
+    # mapper cadence map_every=5: the ckpt lands at the BA of frame 5.
+    r = _run(["-m", "coslam_tpu", "--config", cfg_path, "--pipelined",
+              "--ckpt_every", "5"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(os.path.join(out, "checkpoint5.npz"))
+    assert os.path.exists(os.path.join(out, "checkpoint7.npz"))
+
+    r = _run(["-m", "coslam_tpu", "--config", cfg_path, "--pipelined",
+              "--ckpt", os.path.join(out, "checkpoint5.npz")])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "resuming from frame 6" in r.stdout
+
+
+def test_cli_active_flag_exclusive():
+    """--active + --pipelined is rejected up front (no config load)."""
+    r = _run(["-m", "coslam_tpu", "--config", "configs/Active/active_tum.yaml",
+              "--active", "--pipelined"])
+    assert r.returncode != 0
+    assert "mutually exclusive" in (r.stderr + r.stdout)
+
+
 def test_cli_auto_resume(scene_cfg):
     """--ckpt_every writes mid-run checkpoints; --ckpt auto finds the
     latest one and resumes from its frame cursor."""

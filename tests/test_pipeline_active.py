@@ -215,6 +215,41 @@ def test_detach_nll_gradient_isolation(small_seq):
     assert cos > 0.99
 
 
+def test_pipelined_deferred_stress(small_seq):
+    """Deferred-readback pipelined mode under a longer interleaving
+    window: the tracker's async readback FIFO and device pose chain must
+    never lose a pose write (every frame's est_c2w row lands), the
+    mapper must consume device poses before the tracker prunes them
+    (no zero cur_pose poisoning BA -> trajectory stays sane), and the
+    FIFO must be fully drained at return."""
+    import copy
+
+    from coslam_tpu.runtime.pipeline import PipelinedCoSLAM
+
+    cfg = copy.deepcopy(small_seq)
+    cfg["data"]["exp_name"] = "pipe_stress"
+    # Tighter BA/keyframe cadence than the base run: more BA cycles and
+    # keyframe inserts interleaving with tracked frames per sequence.
+    cfg["mapping"]["map_every"] = 2
+    cfg["mapping"]["keyframe_every"] = 2
+    slam = PipelinedCoSLAM(cfg)
+    res = slam.run(verbose=False, eval_ate=True)
+
+    assert slam.tracking_idx == 11
+    assert slam.mapping_idx >= 10
+    # Every frame's pose write landed (no lost FIFO entries).
+    for i in range(12):
+        assert np.any(slam.est_c2w[i]), f"frame {i} pose never resolved"
+    assert not slam._pending, "readback FIFO not drained at return"
+    # No zero-pose poisoning: trajectory is finite and reference-class
+    # for this tiny scene.
+    ate = res["absolute_translational_error.rmse"]
+    assert np.isfinite(ate) and ate < 0.08
+    # Wall timestamps cover the tracked frames (tracker loop recorded
+    # one per frame 1..11 + a final stamp).
+    assert len(slam.frame_walls) == 12
+
+
 def test_pipelined_periodic_mesh(small_seq):
     """The mapper runs periodic mesh+ATE at the mesh.vis cadence like
     the reference's mp mapper (mp_slam/mapper.py:222-231), handed to the
