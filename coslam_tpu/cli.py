@@ -43,6 +43,10 @@ def main(argv=None):
                         help="ActiveCoSLAM info-gain variant (reference "
                              "ActiveCoSLAM/ac_coslam.py); auto-selected "
                              "when the config sets active.isActive")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a JAX profiler trace of steady-state "
+                             "frames 10-20 into this directory "
+                             "(sequential mode only)")
     args = parser.parse_args(argv)
 
     # Persistent compilation cache (first compile of the megasteps is slow).
@@ -114,9 +118,13 @@ def main(argv=None):
         if args.ckpt_every:
             print("--ckpt_every ignored in active mode")
         slam.run(n_frames=args.max_frames)
-    else:
+    elif args.pipelined:
         slam.run(n_frames=args.max_frames, start_frame=start_frame,
                  ckpt_every=args.ckpt_every)
+    else:
+        slam.run(n_frames=args.max_frames, start_frame=start_frame,
+                 ckpt_every=args.ckpt_every,
+                 profile_dir=args.profile_dir)
 
 
 if __name__ == "__main__":

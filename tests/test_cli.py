@@ -124,6 +124,45 @@ def test_cli_pipelined_mode(scene_cfg):
     assert "resuming from frame 6" in r.stdout
 
 
+def test_cli_crash_resume(scene_cfg):
+    """True crash recovery: SIGKILL the run mid-sequence (after the
+    first periodic checkpoint lands — atomic tmp+rename, so the file is
+    whole), then `--ckpt auto` resumes and completes the run."""
+    import signal
+    import time
+
+    cfg, cfg_path = scene_cfg
+    out = os.path.join(cfg["data"]["output"], cfg["data"]["exp_name"])
+    os.makedirs(out, exist_ok=True)
+    for f in os.listdir(out):
+        if f.startswith("checkpoint"):
+            os.remove(os.path.join(out, f))
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "coslam_tpu", "--config", cfg_path,
+         "--ckpt_every", "2"], cwd=REPO, env=env,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    ck = os.path.join(out, "checkpoint2.npz")
+    deadline = time.time() + 600
+    while time.time() < deadline and not os.path.exists(ck) \
+            and proc.poll() is None:
+        time.sleep(0.25)
+    try:
+        assert os.path.exists(ck), "first periodic checkpoint never landed"
+    finally:
+        if proc.poll() is None:
+            proc.send_signal(signal.SIGKILL)
+        proc.wait()
+
+    r = _run(["-m", "coslam_tpu", "--config", cfg_path, "--ckpt", "auto"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "resuming from frame" in r.stdout
+    assert os.path.exists(os.path.join(out, "checkpoint7.npz"))
+    assert os.path.exists(os.path.join(out, "output.txt"))
+
+
 def test_cli_active_flag_exclusive():
     """--active + --pipelined is rejected up front (no config load)."""
     r = _run(["-m", "coslam_tpu", "--config", "configs/Active/active_tum.yaml",

@@ -250,6 +250,27 @@ def test_pipelined_deferred_stress(small_seq):
     assert len(slam.frame_walls) == 12
 
 
+def test_pipelined_single_device(small_seq):
+    """Single-device pipelined path (what the one-chip TPU runs): both
+    threads share the device, placement hooks are identity. On the
+    8-virtual-device CPU mesh the other pipelined tests all take the
+    2-device path, so this pins the devices=[d0] variant."""
+    import copy
+
+    import jax
+
+    from coslam_tpu.runtime.pipeline import PipelinedCoSLAM
+
+    cfg = copy.deepcopy(small_seq)
+    cfg["data"]["exp_name"] = "pipe_1dev"
+    slam = PipelinedCoSLAM(cfg, devices=jax.devices()[:1])
+    assert slam.tracker_device is slam.mapper_device
+    res = slam.run(verbose=False, eval_ate=True)
+    ate = res["absolute_translational_error.rmse"]
+    assert np.isfinite(ate) and ate < 0.08
+    assert not slam._pending
+
+
 def test_pipelined_periodic_mesh(small_seq):
     """The mapper runs periodic mesh+ATE at the mesh.vis cadence like
     the reference's mp mapper (mp_slam/mapper.py:222-231), handed to the
