@@ -17,9 +17,17 @@ asynchronously-dispatched jitted megasteps:
   `mapping_idx + map_every` as soon as tracking passes it
   (mp_slam/mapper.py:209-220).
 
-On one chip the two streams interleave in the device queue; with two or
-more devices the mapper can be pinned to a second device and snapshots
-cross the ICI via jax.device_put (device_map argument).
+The tracker rides the sequential loop's deferred-readback machinery
+(slam.py): tracked poses stay on the device pose chain, packed results
+return via async d2h copies into a lock-guarded FIFO resolved in
+submission order, and the mapper raises a monotonic chain-retention
+threshold so device poses it still needs are never pruned. On one chip
+the two streams interleave in the device queue (wall frame time = the
+tracking step; BA hides behind it). With two or more devices
+(`devices=` argument / CLI `--devices`), the mapper-owned state is
+pinned to the second device so BA, keyframe insertion, and mesh queries
+execute there, and parameter snapshots cross the ICI via
+jax.device_put.
 """
 
 from __future__ import annotations
