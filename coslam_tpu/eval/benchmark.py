@@ -48,6 +48,18 @@ def run_benchmark(config: Dict, gt_mesh_path: Optional[str] = None,
         "n_params": int(sum(np.asarray(x).size for x in
                             _tree_leaves(slam.params))),
     }
+    # Split the wall into startup (first-frame mapping + one-time
+    # compiled-program loads, tunnel-RPC sensitive), the frame loop,
+    # and the tail (final checkpoint + mesh + ATE) so runtime_s
+    # variance is attributable.
+    walls = getattr(slam, "frame_walls", None)
+    if walls and len(walls) >= 3:
+        # walls[k] is stamped at the TOP of frame k's iteration, so
+        # walls[1]-t0 spans init + frame 0 = first-frame mapping and
+        # the one-time compiled-program loads.
+        results["startup_s"] = round(walls[1] - t0, 1)
+        results["loop_s"] = round(walls[-1] - walls[1], 1)
+        results["tail_s"] = round(runtime - (walls[-1] - t0), 1)
     if ate is not None:
         results["ate_rmse_cm"] = round(
             ate["absolute_translational_error.rmse"] * 100, 3)

@@ -151,6 +151,19 @@ class PipelinedCoSLAM(CoSLAM):
 
             frames = PrefetchIterator(self.dataset, total, start=start,
                                       transform=stage)
+            # Load the tracking megastep's compiled program NOW (the
+            # tracker is otherwise idle until the mapper finishes the
+            # first frame); _shared_params was published before the
+            # threads started, so the warm call compiles/loads for the
+            # tracker device's placement. Best-effort, outputs dropped.
+            try:
+                if jax.default_backend() != "cpu":
+                    self._track_step(
+                        self._shared_params, jnp.eye(4, dtype=jnp.float32),
+                        jnp.zeros((cfg["tracking"]["sample"], 7),
+                                  jnp.float32), jax.random.PRNGKey(0))
+            except Exception:
+                pass
             while not self.mapping_first_frame and not self._stop:
                 time.sleep(0.005)
             for i, batch in frames:

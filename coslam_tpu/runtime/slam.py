@@ -480,6 +480,37 @@ class CoSLAM:
         device so the tracker's jits never see mapper-committed arrays."""
         return x
 
+    def _warm_programs(self):
+        """Best-effort cold-start overlap: dispatch each heavy megastep
+        once on dummy inputs from a background thread so the
+        compiled-program loads (XLA persistent-cache deserialize +
+        program upload — measured 5-20 s EACH over the tunneled device
+        link) overlap first-frame mapping instead of stalling the first
+        tracked/mapped frames. Semantically inert: parameters are
+        immutable device arrays read concurrently, the keyframe ring is
+        replaced by a zeros dummy (the real one is donated to
+        add_keyframe), outputs are discarded, and the run's RNG streams
+        are untouched (fixed local key). Skipped on the CPU backend,
+        where executing a dummy BA costs more than the load it hides."""
+        try:
+            if jax.default_backend() == "cpu":
+                return
+            cfg = self.config
+            key = jax.random.PRNGKey(0)
+            params = self.params          # snapshot the references once
+            opt = self.map_opt_state
+            eye = jnp.eye(4, dtype=jnp.float32)
+            rays_t = jnp.zeros((cfg["tracking"]["sample"], 7), jnp.float32)
+            self._track_step(params, eye, rays_t, key)
+            ring = jnp.zeros_like(self.kf_db.rays)
+            poses = jnp.zeros_like(self.kf_poses)
+            cur = jnp.zeros((self.dataset.H * self.dataset.W, 7),
+                            jnp.float32)
+            for ba in (self._ba_step_small, self._ba_step):
+                ba(params, opt, ring, jnp.int32(2), poses, eye, cur, key)
+        except Exception:
+            pass  # the real calls load lazily; warmup must never fail a run
+
     def _resolve_track_pending(self):
         with self._pending_lock:
             while self._pending:
@@ -774,6 +805,12 @@ class CoSLAM:
 
         map_every = cfg["mapping"]["map_every"]
         kf_every = cfg["mapping"]["keyframe_every"]
+
+        # Overlap the heavy megasteps' compiled-program loads with
+        # first-frame mapping (no-op semantically; see _warm_programs).
+        import threading
+        threading.Thread(target=self._warm_programs, daemon=True,
+                         name="warmup").start()
 
         # Sequential loop: defer tracking/BA readbacks (device pose
         # chain). On resume, re-seed the chain from the checkpointed
