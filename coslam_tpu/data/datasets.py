@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import glob
 import os
+import threading
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -65,6 +66,33 @@ def _opengl(c2w: np.ndarray) -> np.ndarray:
     return c2w
 
 
+class LazyFrame(dict):
+    """Frame dict whose f32 ``rgb`` / ``depth`` materialize on first
+    [] access from the raw decoded arrays (``rgb_u8`` RGB uint8,
+    ``depth_raw`` uint16 + ``depth_png_scale``/``depth_sc_factor``).
+
+    Consumers that only need a few pixels (tracking-ray sampling) or
+    upload the frame quantized (the transfer-thin frame block) read the
+    raw keys and never pay the full-image conversions. Materialization
+    reproduces the eager loader bit-for-bit: rgb = f32(f64(u8)/255),
+    depth = f32(u16)/png_scale*sc_factor (same op order and dtypes as
+    ``BaseDataset._load_image_pair``). Thread note: double
+    materialization under a race computes the same values twice —
+    benign; the dict write is atomic under the GIL.
+    """
+
+    def __missing__(self, key):
+        if key == "rgb" and "rgb_u8" in self:
+            v = (self["rgb_u8"] / 255.0).astype(np.float32)
+        elif key == "depth" and "depth_raw" in self:
+            v = (self["depth_raw"].astype(np.float32)
+                 / self["depth_png_scale"] * self["depth_sc_factor"])
+        else:
+            raise KeyError(key)
+        self[key] = v
+        return v
+
+
 class BaseDataset:
     """Common camera model + composition algebra.
 
@@ -98,6 +126,7 @@ class BaseDataset:
         self.num_rays_to_save = int(self.total_pixels
                                     * cfg["mapping"]["n_pixels"])
         self.rays_d: Optional[np.ndarray] = None
+        self._dirs_lock = threading.Lock()
 
     # -- shared image pipeline ------------------------------------------------
 
@@ -111,6 +140,39 @@ class BaseDataset:
             self.W -= edge * 2
             self.cx -= edge
             self.cy -= edge
+
+    def _try_raw_batch(self, frame_id: int, c2w: np.ndarray,
+                       color_path: str, depth_path: str,
+                       crop_edge: Optional[int]) -> Optional["LazyFrame"]:
+        """Decode-through fast path: when no undistort/resize is needed,
+        hand the decoded uint8 rgb / uint16 depth through untouched and
+        let the f32 views materialize lazily (LazyFrame). The
+        transfer-thin upload path consumes the raw arrays directly
+        (runtime/slam.py _frame_block / _sample_tracking_rays), so the
+        steady-state frame loop skips BOTH full-image f32 conversion
+        passes AND the re-quantization before upload — on a small-core
+        host those passes cost as much as the tracking step itself."""
+        import cv2
+
+        if self.distortion is not None or self.downsample_factor > 1:
+            return None
+        color = cv2.imread(color_path)
+        depth = cv2.imread(depth_path, cv2.IMREAD_UNCHANGED)
+        if (color is None or depth is None or depth.dtype != np.uint16
+                or color.shape[:2] != depth.shape):
+            return None
+        color = cv2.cvtColor(color, cv2.COLOR_BGR2RGB)
+        edge = (self.config["cam"].get("crop_edge", 0)
+                if crop_edge is None else crop_edge)
+        if edge > 0:
+            color = color[edge:-edge, edge:-edge]
+            depth = depth[edge:-edge, edge:-edge]
+        return LazyFrame({
+            "frame_id": frame_id, "c2w": np.asarray(c2w, np.float32),
+            "rgb_u8": color, "depth_raw": depth,
+            "depth_png_scale": float(self.png_depth_scale),
+            "depth_sc_factor": float(self.sc_factor),
+            "direction": self._directions()})
 
     def _load_image_pair(self, color_path: str, depth_path: str,
                          crop_edge: Optional[int] = None):
@@ -147,9 +209,14 @@ class BaseDataset:
         return color.astype(np.float32), depth
 
     def _directions(self) -> np.ndarray:
+        # Lock-guarded lazy init: concurrent prefetch workers must all
+        # see the SAME array object (the upload cache is keyed by
+        # identity, runtime/slam.py _device_dirs).
         if self.rays_d is None:
-            self.rays_d = get_camera_rays(self.H, self.W, self.fx, self.fy,
-                                          self.cx, self.cy)
+            with self._dirs_lock:
+                if self.rays_d is None:
+                    self.rays_d = get_camera_rays(self.H, self.W, self.fx,
+                                                  self.fy, self.cx, self.cy)
         return self.rays_d
 
     def _train_ids(self, n: int) -> List[int]:
@@ -157,6 +224,10 @@ class BaseDataset:
 
     def _make_batch(self, frame_id: int, c2w: np.ndarray, color_path: str,
                     depth_path: str, crop_edge: Optional[int] = None) -> Dict:
+        fast = self._try_raw_batch(frame_id, c2w, color_path, depth_path,
+                                   crop_edge)
+        if fast is not None:
+            return fast
         rgb, depth = self._load_image_pair(color_path, depth_path, crop_edge)
         return {"frame_id": frame_id, "c2w": np.asarray(c2w, np.float32),
                 "rgb": rgb, "depth": depth, "direction": self._directions()}

@@ -150,7 +150,8 @@ class PipelinedCoSLAM(CoSLAM):
                 return batch
 
             frames = PrefetchIterator(self.dataset, total, start=start,
-                                      transform=stage)
+                                      transform=stage,
+                                      workers=cfg["data"].get("num_workers"))
             # Load the tracking megastep's compiled program NOW (the
             # tracker is otherwise idle until the mapper finishes the
             # first frame); _shared_params was published before the

@@ -275,11 +275,23 @@ class CoSLAM:
             return cached[1]
         dirs = self._device_dirs(batch["direction"])
         if self._quant_upload:
-            rgb8 = np.clip(np.rint(np.asarray(batch["rgb"], np.float32)
-                                   * 255.0), 0, 255).astype(np.uint8)
-            d = np.maximum(np.asarray(batch["depth"], np.float32), 0.0)
-            dscale = max(float(d.max()), 1e-6) / 65535.0
-            d16 = np.rint(d * (1.0 / dscale)).astype(np.uint16)
+            rgb_u8 = batch.get("rgb_u8")
+            depth_raw = batch.get("depth_raw")
+            if rgb_u8 is not None and depth_raw is not None:
+                # Decode-through: the loader's raw uint8/uint16 arrays
+                # upload as-is (LazyFrame fast path) — no host f32
+                # round-trip, and depth keeps the dataset's NATIVE
+                # quantization instead of a second lossy re-quantize.
+                rgb8 = np.ascontiguousarray(rgb_u8)
+                d16 = np.ascontiguousarray(depth_raw)
+                dscale = (batch["depth_sc_factor"]
+                          / batch["depth_png_scale"])
+            else:
+                rgb8 = np.clip(np.rint(np.asarray(batch["rgb"], np.float32)
+                                       * 255.0), 0, 255).astype(np.uint8)
+                d = np.maximum(np.asarray(batch["depth"], np.float32), 0.0)
+                dscale = max(float(d.max()), 1e-6) / 65535.0
+                d16 = np.rint(d * (1.0 / dscale)).astype(np.uint16)
             blk = self._assemble_block(dirs, jnp.asarray(rgb8),
                                        jnp.asarray(d16),
                                        jnp.float32(dscale))
@@ -303,12 +315,30 @@ class CoSLAM:
         iH = self.config["tracking"]["ignore_edge_H"]
         iW = self.config["tracking"]["ignore_edge_W"]
         S = self.config["tracking"]["sample"]
-        dirs = batch["direction"][iH:-iH, iW:-iW].reshape(-1, 3)
-        rgb = batch["rgb"][iH:-iH, iW:-iW].reshape(-1, 3)
-        depth = batch["depth"][iH:-iH, iW:-iW].reshape(-1, 1)
+        direction = batch["direction"]
+        H, W = direction.shape[:2]
+        ch, cw = H - 2 * iH, W - 2 * iW
         rng = np.random.default_rng((self._seed, int(batch["frame_id"])))
-        idx = rng.choice(dirs.shape[0], size=S, replace=False)
-        return np.concatenate([dirs[idx], rgb[idx], depth[idx]],
+        idx = rng.choice(ch * cw, size=S, replace=False)
+        # Gather S pixels by (row, col) fancy indexing instead of
+        # materializing edge-cropped copies of all three fields (the
+        # copies cost ~3 full-image passes per frame; same elements,
+        # same rng draw, bit-identical output — and it works on crop
+        # VIEWS without flattening them).
+        r, c = idx // cw + iH, idx % cw + iW
+        dirs = direction[r, c]
+        rgb_u8 = batch.get("rgb_u8")
+        if rgb_u8 is not None and "rgb" not in batch:
+            rgb = (rgb_u8[r, c] / 255.0).astype(np.float32)
+        else:
+            rgb = np.asarray(batch["rgb"])[r, c]
+        depth_raw = batch.get("depth_raw")
+        if depth_raw is not None and "depth" not in batch:
+            depth = (depth_raw[r, c, None].astype(np.float32)
+                     / batch["depth_png_scale"] * batch["depth_sc_factor"])
+        else:
+            depth = np.asarray(batch["depth"])[r, c, None]
+        return np.concatenate([dirs, rgb, depth],
                               axis=1).astype(np.float32)
 
     # -- pipeline stages -------------------------------------------------------
@@ -835,7 +865,8 @@ class CoSLAM:
             return batch
 
         frames = PrefetchIterator(self.dataset, n_frames,
-                                  start=start_frame, transform=stage)
+                                  start=start_frame, transform=stage,
+                                  workers=cfg["data"].get("num_workers"))
         total = len(frames)
 
         visualise = bool(cfg["mesh"].get("visualisation"))

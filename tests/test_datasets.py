@@ -141,3 +141,55 @@ def test_rgbdataset_trainskip(tmp_path):
     ds = RGBDataset(cfg, str(root))
     assert len(ds) == 3  # frames 0, 2, 4
     np.testing.assert_allclose(ds[2]["c2w"][:3, 3], [0, 0.4, 0], atol=1e-6)
+
+
+def test_lazyframe_fast_path_bit_identical(synth_seq):
+    """The decode-through fast path (LazyFrame raw u8/u16 + lazy f32)
+    must reproduce the eager loader bit-for-bit, and the raw keys must
+    carry the dataset's native quantization."""
+    from coslam_tpu.data.datasets import LazyFrame
+
+    cfg, scene, poses = synth_seq
+    ds = get_dataset(cfg)
+    b = ds[2]
+    assert isinstance(b, LazyFrame)
+    assert b["rgb_u8"].dtype == np.uint8
+    assert b["depth_raw"].dtype == np.uint16
+    assert "rgb" not in b and "depth" not in b  # not yet materialized
+    rgb_e, depth_e = ds._load_image_pair(ds.img_files[2], ds.depth_paths[2])
+    assert np.array_equal(b["rgb"], rgb_e)
+    assert np.array_equal(b["depth"], depth_e)
+    assert "rgb" in b  # materialized exactly once, then cached
+    assert b["rgb"] is b["rgb"]
+
+
+def test_sample_tracking_rays_matches_cropped_gather(synth_seq):
+    """The (row, col) fancy-index draw must equal the original
+    crop-then-flat-gather on BOTH the raw and the materialized branch."""
+    from coslam_tpu.runtime.slam import CoSLAM
+
+    cfg, scene, poses = synth_seq
+    ds = get_dataset(cfg)
+
+    class Fake:
+        config = {"tracking": {"ignore_edge_H": 4, "ignore_edge_W": 6,
+                               "sample": 64}}
+        _seed = 0
+
+    def reference_draw(batch):
+        iH, iW, S = 4, 6, 64
+        dirs = batch["direction"][iH:-iH, iW:-iW].reshape(-1, 3)
+        rgb = batch["rgb"][iH:-iH, iW:-iW].reshape(-1, 3)
+        depth = batch["depth"][iH:-iH, iW:-iW].reshape(-1, 1)
+        rng = np.random.default_rng((0, int(batch["frame_id"])))
+        idx = rng.choice(dirs.shape[0], size=S, replace=False)
+        return np.concatenate([dirs[idx], rgb[idx], depth[idx]],
+                              axis=1).astype(np.float32)
+
+    raw = CoSLAM._sample_tracking_rays(Fake(), ds[4])     # raw branch
+    b = ds[4]
+    _ = b["rgb"], b["depth"]                              # force f32
+    f32 = CoSLAM._sample_tracking_rays(Fake(), b)
+    ref = reference_draw(b)
+    assert np.array_equal(f32, ref)
+    assert np.array_equal(raw, ref)
