@@ -1,0 +1,59 @@
+"""Device sphere tracer vs the numpy reference tracer.
+
+The format writers use make_renderer, which picks DeviceRenderer on an
+accelerator backend (scene generation at protocol scale is otherwise
+single-core-numpy-bound: seconds per 480x640 frame). The scene methods
+are array-module-generic (xp=np|jnp); these tests pin that both paths
+trace the same math.
+"""
+
+import numpy as np
+import pytest
+
+from coslam_tpu.data.synth import (AnalyticApartment, AnalyticScene,
+                                   DeviceRenderer, make_renderer,
+                                   make_trajectory, render_frame)
+
+CAM = dict(H=48, W=64, fx=56.0, fy=56.0, cx=32.0, cy=24.0)
+
+
+@pytest.mark.parametrize("scene_cls", [AnalyticScene, AnalyticApartment])
+def test_device_renderer_matches_numpy(scene_cls):
+    scene = scene_cls()
+    c2w = make_trajectory(8)[3]
+    rgb_np, d_np = render_frame(scene, c2w, **CAM)
+    dr = DeviceRenderer(scene, **CAM)
+    rgb_dev, d_dev = dr(c2w)
+    assert rgb_dev.shape == rgb_np.shape and d_dev.shape == d_np.shape
+    # Depth agreement well under the u16 PNG quantization step
+    # (1/6553.5 m = 0.15 mm); rgb under JPEG-97 noise.
+    assert np.abs(d_dev - d_np).max() < 5e-4
+    assert np.abs(rgb_dev - rgb_np).max() < 5e-3
+
+
+def test_scene_methods_accept_jnp():
+    import jax.numpy as jnp
+
+    scene = AnalyticApartment()
+    p = np.random.default_rng(0).uniform(-2, 2, (257, 3)).astype(np.float32)
+    np.testing.assert_allclose(scene.sdf(jnp.asarray(p), xp=jnp),
+                               scene.sdf(p), atol=1e-6)
+    np.testing.assert_allclose(scene.albedo(jnp.asarray(p), xp=jnp),
+                               scene.albedo(p), atol=1e-5)
+    np.testing.assert_allclose(scene.shade(jnp.asarray(p), xp=jnp),
+                               scene.shade(p), atol=1e-4)
+
+
+def test_make_renderer_cpu_falls_back_to_numpy(monkeypatch):
+    """On the CPU backend make_renderer must return the plain numpy
+    tracer (bitwise frame stability for resumable rendering)."""
+    import jax
+
+    if jax.default_backend() != "cpu":
+        pytest.skip("non-CPU backend")
+    scene = AnalyticScene()
+    r = make_renderer(scene, **CAM)
+    c2w = make_trajectory(4)[1]
+    rgb, depth = r(c2w)
+    rgb2, depth2 = render_frame(scene, c2w, **CAM)
+    assert np.array_equal(rgb, rgb2) and np.array_equal(depth, depth2)
