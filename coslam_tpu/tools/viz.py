@@ -19,13 +19,13 @@ def colormap_image(image_hw: np.ndarray, mask_hw: Optional[np.ndarray] = None,
                    vmin: Optional[float] = None, vmax: Optional[float] = None,
                    colormap: str = "turbo") -> np.ndarray:
     """Colormap a single-channel image -> [H, W, 3] float RGB."""
-    import matplotlib.cm as cm
+    import matplotlib
 
     valid = image_hw if mask_hw is None else image_hw[mask_hw.astype(bool)]
     vmin = float(valid.min()) if vmin is None else vmin
     vmax = float(valid.max()) if vmax is None else vmax
 
-    lut = cm.get_cmap(colormap)(np.linspace(0, 1, 256))[:, :3]
+    lut = matplotlib.colormaps[colormap](np.linspace(0, 1, 256))[:, :3]
     if flip:
         lut = lut[::-1]
     norm = np.clip((image_hw - vmin) / max(vmax - vmin, 1e-12), 0, 1)
