@@ -136,16 +136,18 @@ class PipelinedCoSLAM(CoSLAM):
 
             cfg = self.config
             map_every = cfg["mapping"]["map_every"]
-            kf_every = cfg["mapping"]["keyframe_every"]
 
             def stage(i, batch):
                 """Prefetch-worker staging, as in the sequential run():
                 pre-upload the tracking rays and (for frames the mapper
                 will consume) the full frame block so h2d transfers hide
-                behind device compute."""
+                behind device compute. The mapper only ever consumes
+                map_every-cadence frames (keyframes are inserted from the
+                mapped frame, like the reference's mp mapper,
+                mp_slam/mapper.py:222), so only those get a block."""
                 batch["_dev_track_rays"] = jnp.asarray(
                     self._sample_tracking_rays(batch))
-                if i % map_every == 0 or i % kf_every == 0:
+                if i % map_every == 0:
                     self._frame_block(batch)
                 return batch
 
@@ -184,7 +186,10 @@ class PipelinedCoSLAM(CoSLAM):
                 # tracked pose stays on the device chain, the packed
                 # result rides an async d2h into the lock-guarded FIFO.
                 self.tracking_render(batch, i, params=self._shared_params)
-                if i % map_every == 0 or i % kf_every == 0:
+                if i % map_every == 0:
+                    # Only stash frames the mapper pops (map_every
+                    # cadence); kf-only frames would accumulate in the
+                    # dict forever when kf_every doesn't align.
                     with self._frames_lock:
                         self._frames[i] = batch
                 self.tracking_idx = i

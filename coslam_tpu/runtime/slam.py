@@ -440,9 +440,14 @@ class CoSLAM:
                 while len(self._pending) > 3:
                     self._resolve_entry(self._pending.pop(0))
             return None
-        # Sync path (ActiveCoSLAM / pc-init / defer_readback off).
-        self._resolve_track_pending()
-        self._resolve_entry(entry)
+        # Sync path (ActiveCoSLAM / pc-init / defer_readback off). All
+        # pose-table writes stay serialized under the pending lock so a
+        # concurrent checkpoint snapshot never observes a half-applied
+        # entry stream.
+        with self._pending_lock:
+            while self._pending:
+                self._resolve_entry(self._pending.pop(0))
+            self._resolve_entry(entry)
         return self._last_track_info[0]
 
     def _resolve_entry(self, entry):
@@ -649,7 +654,8 @@ class CoSLAM:
             with self._pending_lock:
                 self._pending.append(entry)
             return None
-        self._resolve_entry(entry)
+        with self._pending_lock:
+            self._resolve_entry(entry)
         return self._last_ba_loss
 
     def convert_relative_pose(self) -> Dict[int, np.ndarray]:
@@ -757,6 +763,16 @@ class CoSLAM:
         self._resolve_track_pending()
         self._ckpt_writer.wait()  # previous async write must land first
 
+        # Snapshot the host pose tables under the pending lock: in
+        # pipelined mode the TRACKER thread keeps inserting into
+        # est_c2w_rel (via _resolve_entry) while this (mapper-thread)
+        # checkpoint iterates it — an unguarded dict comprehension can
+        # die with "dictionary changed size during iteration". All
+        # est_c2w/est_c2w_rel writes happen under this lock.
+        with self._pending_lock:
+            est_snap = self.est_c2w.copy()
+            rel_snap = {k: v.copy() for k, v in self.est_c2w_rel.items()}
+
         extra = {
             # jnp.copy: detach from the donation chain (see docstring).
             "kf_rays": (jnp.copy(self.kf_db.rays) if async_write
@@ -773,12 +789,10 @@ class CoSLAM:
         if frame_cursor is not None:
             extra["frame_cursor"] = np.int64(frame_cursor)
         if async_write:
-            self._ckpt_writer.submit(path, self.params, self.est_c2w.copy(),
-                                     {k: v.copy() for k, v
-                                      in self.est_c2w_rel.items()}, extra)
+            self._ckpt_writer.submit(path, self.params, est_snap, rel_snap,
+                                     extra)
         else:
-            save_ckpt(path, self.params, self.est_c2w, self.est_c2w_rel,
-                      extra)
+            save_ckpt(path, self.params, est_snap, rel_snap, extra)
 
     def load_checkpoint(self, path: str) -> int:
         """Restores everything save_checkpoint wrote (legacy slim

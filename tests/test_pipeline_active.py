@@ -250,6 +250,53 @@ def test_pipelined_deferred_stress(small_seq):
     assert len(slam.frame_walls) == 12
 
 
+def test_checkpoint_concurrent_rel_pose_writes(small_seq):
+    """save_checkpoint must snapshot est_c2w_rel under the pending lock:
+    in pipelined mode the tracker thread inserts relative-pose entries
+    (_resolve_entry) while the mapper's periodic checkpoint iterates the
+    dict — unguarded, that dies with 'dictionary changed size during
+    iteration' on long runs. Mimics the real interleaving: a writer
+    thread inserting under slam._pending_lock (as _resolve_entry's
+    callers do) racing repeated checkpoint saves."""
+    import copy
+    import os
+    import threading
+
+    from coslam_tpu.runtime.slam import CoSLAM
+
+    cfg = copy.deepcopy(small_seq)
+    cfg["data"]["exp_name"] = "ckpt_race"
+    slam = CoSLAM(cfg)
+    # Seed a large dict so an unguarded iteration spans many inserts.
+    for i in range(5000):
+        slam.est_c2w_rel[i] = np.eye(4, dtype=np.float32)
+
+    stop = threading.Event()
+
+    def writer():
+        i = 5000
+        while not stop.is_set():
+            with slam._pending_lock:
+                slam.est_c2w_rel[i] = np.eye(4, dtype=np.float32)
+            i += 1
+
+    t = threading.Thread(target=writer, name="tracker")
+    t.start()
+    try:
+        out = os.path.join(cfg["data"]["output"], cfg["data"]["exp_name"])
+        os.makedirs(out, exist_ok=True)
+        for k in range(10):
+            slam.save_checkpoint(os.path.join(out, "race.npz"),
+                                 frame_cursor=k,
+                                 async_write=(k % 2 == 0))
+        slam._ckpt_writer.wait()
+    finally:
+        stop.set()
+        t.join()
+    frame = slam.load_checkpoint(os.path.join(out, "race.npz"))
+    assert frame == 9 and len(slam.est_c2w_rel) >= 5000
+
+
 def test_pipelined_single_device(small_seq):
     """Single-device pipelined path (what the one-chip TPU runs): both
     threads share the device, placement hooks are identity. On the
