@@ -103,6 +103,14 @@ def main():
 
     kf_count = jnp.int32(100)  # mid-sequence database occupancy
 
+    def progress(msg):
+        """Phase markers on stderr: a timed-out bench run leaves evidence
+        of WHERE it stalled (compile loads over the tunneled device link
+        can take minutes each on a cold cache / congested day)."""
+        print(f"[bench {time.strftime('%H:%M:%S')}] {msg}",
+              file=sys.stderr, flush=True)
+
+    progress("buffers ready; timing hashgrid-parity track/BA cycles")
     # Return only the scalar loss from the timed closures so the timing
     # excludes host<->device transfer of poses/params.
     track_ms = time_fn(
@@ -110,6 +118,7 @@ def main():
     ba_ms = time_fn(
         lambda: ba(params, opt_state, kf_rays, kf_count,
                    kf_poses, cur_pose, cur_rays, key)[4])
+    progress(f"hashgrid parity: track {track_ms:.1f} ms, BA {ba_ms:.1f} ms")
 
     # -- per-phase breakdown of one BA iteration (steers optimization) ----
     import copy
@@ -147,6 +156,8 @@ def main():
     enc_fwd_ms = time_fn(lambda: enc_fwd_j(gp, xpts), n_warmup=2)
     enc_dtable_ms = time_fn(lambda: enc_dtable_j(gp, xpts, gout), n_warmup=2)
 
+    progress(f"breakdown done (fwd {fwd_ms:.1f} / grad {grad_ms:.1f} ms); "
+             "grad-impl head-to-head")
     # -- table-gradient implementation head-to-head (full BA cycle) -------
     ba_variant_ms = {}
     for impl in ("packed", "pallas", "onehot", "scatter"):
@@ -175,6 +186,8 @@ def main():
     # fused two-hot MXU matmuls — zero serial scatter issues). TriPlane
     # is the raw speed ceiling (weaker rendered-depth fidelity);
     # TriPlaneHybrid is the previous flagship, kept for comparison.
+    progress(f"grad-impl head-to-head done ({ba_variant_ms}); "
+             "alt encodings")
     alt_enc = {}
     for enc_name in ("TensoVM", "TriPlaneHybrid", "TriPlane"):
         try:
