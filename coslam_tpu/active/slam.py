@@ -266,7 +266,7 @@ class ActiveCoSLAM(CoSLAM):
         except Exception as e:
             print(f"final mesh save failed: {e}")
         # cursor=total: resuming a finished run re-finalizes only.
-        self.save_checkpoint(os.path.join(out, f"checkpoint{i}.npz"),
+        self.save_checkpoint(os.path.join(out, f"checkpoint{i}{self._ckpt_ext}"),
                              frame_cursor=total)
         results = None
         if eval_ate:

@@ -25,10 +25,11 @@ def main(argv=None):
     parser.add_argument("--max_frames", type=int, default=None,
                         help="process only the first N frames")
     parser.add_argument("--ckpt", type=str, default=None,
-                        help="resume from a checkpoint .npz (full state: "
-                             "map, poses, keyframes, optimizer, RNG, "
-                             "frame cursor); 'auto' picks the latest "
-                             "checkpoint*.npz in the run's output dir")
+                        help="resume from a checkpoint (.npz file or "
+                             ".orbax dir; full state: map, poses, "
+                             "keyframes, optimizer, RNG, frame cursor); "
+                             "'auto' picks the latest checkpoint* in the "
+                             "run's output dir")
     parser.add_argument("--ckpt_every", type=int, default=0,
                         help="write a resumable checkpoint every N frames "
                              "(0 = final only, like the reference)")
@@ -100,9 +101,10 @@ def main(argv=None):
 
             out_dir = os.path.join(cfg["data"]["output"],
                                    cfg["data"]["exp_name"])
-            cands = glob.glob(os.path.join(out_dir, "checkpoint*.npz"))
+            cands = (glob.glob(os.path.join(out_dir, "checkpoint*.npz"))
+                     + glob.glob(os.path.join(out_dir, "checkpoint*.orbax")))
             if not cands:
-                raise SystemExit(f"--ckpt auto: no checkpoint*.npz "
+                raise SystemExit(f"--ckpt auto: no checkpoint*.npz/.orbax "
                                  f"under {out_dir}")
             ckpt_path = max(cands, key=lambda p: int(
                 re.search(r"checkpoint(\d+)", p).group(1)))

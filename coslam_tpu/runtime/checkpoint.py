@@ -10,6 +10,15 @@ always finds a loadable file. AsyncCheckpointWriter moves the
 device->host transfers and the file write off the frame loop's critical
 path (the resume checkpoint carries the keyframe ray reservoir — tens
 of MB that would otherwise stall every ckpt_every-th frame).
+
+A second backend targets multi-host runs: a path ending in ``.orbax``
+writes the SAME payload through orbax.checkpoint (SURVEY §7's
+translation-map row for torch.save). orbax coordinates the atomic
+directory commit across all JAX processes — on a multi-host pod every
+process calls save on the same path and exactly one consistent
+checkpoint lands — which a host-local .npz rename cannot do. Select it
+with ``training: {ckpt_backend: orbax}`` (the npz stays the default;
+single-host artifacts are equivalent).
 """
 
 from __future__ import annotations
@@ -23,16 +32,16 @@ import jax
 import numpy as np
 
 
-def save_ckpt(path: str, params, est_c2w: np.ndarray,
-              est_c2w_rel: Dict[int, np.ndarray], extra: Dict = None) -> None:
-    """``extra`` values may be numpy arrays or pytrees (pytrees are
-    flattened like params). Written uncompressed: resume checkpoints
-    carry the keyframe ray buffer (tens of MB), and zlib on the
-    single-core host would stall the frame loop at every ckpt_every."""
+def _build_payload(params, est_c2w: np.ndarray,
+                   est_c2w_rel: Dict[int, np.ndarray],
+                   extra: Dict = None) -> Dict[str, np.ndarray]:
+    """Flatten everything into a flat {name: ndarray} dict — the common
+    on-disk schema for both the npz and the orbax backend. Pickled
+    treedefs ship as uint8 arrays so every value is a plain ndarray."""
     leaves, treedef = jax.tree_util.tree_flatten(params)
     payload = {
-        "treedef": pickle.dumps(treedef),
-        "n_leaves": len(leaves),
+        "treedef": np.frombuffer(pickle.dumps(treedef), np.uint8),
+        "n_leaves": np.int64(len(leaves)),
         "pose": np.asarray(est_c2w),
         "pose_rel_keys": np.array(sorted(est_c2w_rel.keys()), np.int64),
         "pose_rel_vals": np.stack(
@@ -47,11 +56,52 @@ def save_ckpt(path: str, params, est_c2w: np.ndarray,
             if len(kleaves) == 1 and kleaves[0] is v:
                 payload[f"extra_{k}"] = np.asarray(v)
             else:  # pytree (e.g. optimizer state)
-                payload[f"extree_{k}"] = pickle.dumps(ktreedef)
-                payload[f"exn_{k}"] = len(kleaves)
+                payload[f"extree_{k}"] = np.frombuffer(
+                    pickle.dumps(ktreedef), np.uint8)
+                payload[f"exn_{k}"] = np.int64(len(kleaves))
                 for i, leaf in enumerate(kleaves):
                     payload[f"exleaf_{k}_{i}"] = np.asarray(leaf)
+    return payload
+
+
+def _parse_payload(data) -> Tuple[object, np.ndarray,
+                                  Dict[int, np.ndarray], Dict]:
+    """Inverse of _build_payload. ``data`` is any str->ndarray mapping
+    with .keys() (an NpzFile or an orbax-restored dict)."""
+    treedef = pickle.loads(np.asarray(data["treedef"]).tobytes())
+    leaves = [data[f"leaf_{i}"] for i in range(int(data["n_leaves"]))]
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
+    est_c2w = np.asarray(data["pose"])
+    rel = {int(k): np.asarray(v) for k, v in zip(data["pose_rel_keys"],
+                                                 data["pose_rel_vals"])}
+    extra: Dict = {}
+    for name in data.keys():
+        if name.startswith("extra_"):
+            extra[name[len("extra_"):]] = np.asarray(data[name])
+        elif name.startswith("extree_"):
+            k = name[len("extree_"):]
+            ktreedef = pickle.loads(np.asarray(data[name]).tobytes())
+            kleaves = [data[f"exleaf_{k}_{i}"]
+                       for i in range(int(data[f"exn_{k}"]))]
+            extra[k] = jax.tree_util.tree_unflatten(ktreedef, kleaves)
+    return params, est_c2w, rel, extra
+
+
+def save_ckpt(path: str, params, est_c2w: np.ndarray,
+              est_c2w_rel: Dict[int, np.ndarray], extra: Dict = None) -> None:
+    """``extra`` values may be numpy arrays or pytrees (pytrees are
+    flattened like params). Written uncompressed: resume checkpoints
+    carry the keyframe ray buffer (tens of MB), and zlib on the
+    single-core host would stall the frame loop at every ckpt_every.
+    A ``.orbax`` path routes through the orbax backend (module
+    docstring)."""
+    payload = _build_payload(params, est_c2w, est_c2w_rel, extra)
     path = os.path.abspath(path)
+    if path.endswith(".orbax"):
+        import orbax.checkpoint as ocp
+
+        ocp.PyTreeCheckpointer().save(path, payload, force=True)
+        return
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:  # explicit handle: savez must not append .npz
@@ -115,22 +165,11 @@ def load_ckpt(path: str) -> Tuple[object, np.ndarray, Dict[int, np.ndarray],
                                   Dict]:
     """Returns (params, est_c2w, est_c2w_rel, extra) — ``extra`` holds
     whatever resume state the checkpoint carries (possibly empty for
-    slim/legacy checkpoints)."""
-    data = np.load(path, allow_pickle=True)
-    treedef = pickle.loads(data["treedef"].tobytes())
-    leaves = [data[f"leaf_{i}"] for i in range(int(data["n_leaves"]))]
-    params = jax.tree_util.tree_unflatten(treedef, leaves)
-    est_c2w = data["pose"]
-    rel = {int(k): v for k, v in zip(data["pose_rel_keys"],
-                                     data["pose_rel_vals"])}
-    extra: Dict = {}
-    for name in data.files:
-        if name.startswith("extra_"):
-            extra[name[len("extra_"):]] = data[name]
-        elif name.startswith("extree_"):
-            k = name[len("extree_"):]
-            ktreedef = pickle.loads(data[name].tobytes())
-            kleaves = [data[f"exleaf_{k}_{i}"]
-                       for i in range(int(data[f"exn_{k}"]))]
-            extra[k] = jax.tree_util.tree_unflatten(ktreedef, kleaves)
-    return params, est_c2w, rel, extra
+    slim/legacy checkpoints). Accepts both backends: a directory is an
+    orbax checkpoint, a file is the .npz format."""
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        data = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+        return _parse_payload(data)
+    return _parse_payload(np.load(path, allow_pickle=True))

@@ -245,7 +245,7 @@ class PipelinedCoSLAM(CoSLAM):
                     # simply re-track on resume). The FIFO drain inside
                     # save_checkpoint serializes under the pending lock.
                     self.save_checkpoint(
-                        os.path.join(out, f"checkpoint{next_map}.npz"),
+                        os.path.join(out, f"checkpoint{next_map}{self._ckpt_ext}"),
                         frame_cursor=next_map + 1, async_write=True)
                 # Periodic mesh + ATE from the mapper, like the reference
                 # (mp_slam/mapper.py:222-231) — handed to the single-flight
@@ -319,7 +319,7 @@ class PipelinedCoSLAM(CoSLAM):
 
         i = total - 1
         # cursor=total: resuming a finished run re-finalizes only.
-        self.save_checkpoint(os.path.join(out, f"checkpoint{i}.npz"),
+        self.save_checkpoint(os.path.join(out, f"checkpoint{i}{self._ckpt_ext}"),
                              frame_cursor=total)
         try:
             self.save_mesh(i, voxel_size=cfg["mesh"]["voxel_final"])

@@ -194,6 +194,13 @@ class CoSLAM:
         # sequential semantics (keep the last two frames only).
         self._chain_keep: Optional[int] = None
         self._ckpt_writer = AsyncCheckpointWriter()
+        # Checkpoint backend: "npz" (default, host-local atomic file) or
+        # "orbax" (multi-host-coordinated directory; checkpoint.py).
+        backend = (config.get("training") or {}).get("ckpt_backend", "npz")
+        if backend not in ("npz", "orbax"):
+            raise ValueError(f"training.ckpt_backend must be 'npz' or "
+                             f"'orbax', got {backend!r}")
+        self._ckpt_ext = ".orbax" if backend == "orbax" else ".npz"
         self._mesh_worker = SingleFlightWorker("mesh-eval")
         self._last_track_info = (float("nan"),) * 3
 
@@ -899,7 +906,7 @@ class CoSLAM:
                 jax.profiler.stop_trace()
             if ckpt_every and i > start_frame and i % ckpt_every == 0:
                 # State covers frames [0, i): resume continues AT i.
-                self.save_checkpoint(os.path.join(out, f"checkpoint{i}.npz"),
+                self.save_checkpoint(os.path.join(out, f"checkpoint{i}{self._ckpt_ext}"),
                                      frame_cursor=i, async_write=True)
             if i == 0:
                 loss = self.first_frame_mapping(batch)
@@ -939,7 +946,7 @@ class CoSLAM:
         i = total - 1
         # cursor=total: --ckpt auto on a finished run re-finalizes
         # (empty loop + mesh/eval) instead of re-running from frame 0.
-        self.save_checkpoint(os.path.join(out, f"checkpoint{i}.npz"),
+        self.save_checkpoint(os.path.join(out, f"checkpoint{i}{self._ckpt_ext}"),
                              frame_cursor=total)
         try:
             self.save_mesh(i, voxel_size=cfg["mesh"]["voxel_final"])

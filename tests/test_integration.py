@@ -161,6 +161,34 @@ def test_checkpoint_roundtrip(tmp_path, trained_scene):
     assert all(np.allclose(a, b) for a, b in zip(l1, l2))
 
 
+def test_checkpoint_roundtrip_orbax(tmp_path, trained_scene):
+    """The orbax backend (training.ckpt_backend: orbax — multi-host
+    coordinated commit) stores the same payload: params + pose tables +
+    pytree extras round-trip exactly, and load_ckpt auto-detects the
+    directory format."""
+    cfg, scene, pose0, model, params, _, _ = trained_scene
+    from coslam_tpu.runtime.checkpoint import load_ckpt, save_ckpt
+
+    est = np.tile(np.eye(4, dtype=np.float32), (5, 1, 1))
+    rel = {1: np.asarray(pose0, np.float32)}
+    extra = {"frame_cursor": np.int64(4),
+             "opt_state": {"m": np.arange(3, dtype=np.float32),
+                           "v": np.ones((2, 2), np.float32)}}
+    p = str(tmp_path / "ck.orbax")
+    save_ckpt(p, params, est, rel, extra)
+    assert os.path.isdir(p)
+    save_ckpt(p, params, est, rel, extra)  # overwrite (periodic re-save)
+    params2, est2, rel2, extra2 = load_ckpt(p)
+    np.testing.assert_array_equal(est, est2)
+    np.testing.assert_allclose(rel[1], rel2[1])
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params2)):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+    assert int(extra2["frame_cursor"]) == 4
+    np.testing.assert_array_equal(extra2["opt_state"]["m"],
+                                  extra["opt_state"]["m"])
+
+
 def test_async_checkpoint_snapshot(tmp_path, trained_scene):
     """AsyncCheckpointWriter writes the state AS OF submit time (device
     arrays are immutable; host copies are the caller's contract — here
