@@ -34,12 +34,16 @@ def main(argv=None):
                         help="write a resumable checkpoint every N frames "
                              "(0 = final only, like the reference)")
     parser.add_argument("--devices", type=int, default=None,
-                        help="shard ray batches over N devices "
-                             "(data-parallel mesh; overrides parallel.dp)")
+                        help="use N devices (overrides parallel.dp): "
+                             "sequential mode shards ray batches over a "
+                             "N-device data-parallel mesh; pipelined mode "
+                             "keeps the tracker on chip 0 and gives the "
+                             "mapper chips 1..N-1 (BA ray batches shard "
+                             "over them when N > 2)")
     parser.add_argument("--pipelined", action="store_true",
                         help="concurrent tracker/mapper runtime (the "
-                             "reference's coslam_mp.py mode); with 2+ "
-                             "devices the mapper runs on the second chip")
+                             "reference's coslam_mp.py mode); see "
+                             "--devices for its multi-chip placement")
     parser.add_argument("--active", action="store_true",
                         help="ActiveCoSLAM info-gain variant (reference "
                              "ActiveCoSLAM/ac_coslam.py); auto-selected "

@@ -54,19 +54,18 @@ class PipelinedCoSLAM(CoSLAM):
             else self.devices[0]
         super().__init__(config, dataset)
         if self.mapper_device is not self.tracker_device:
-            # Pin the mapper-owned state to the second device so BA,
+            # Pin the mapper-owned state to its device(s) so BA,
             # keyframe insertion, and mesh queries actually execute
             # there, concurrent with tracking on device 0; parameter
-            # snapshots cross back over ICI in _publish_params. (The
-            # keyframe ring keeps its donation chain — donation is
-            # per-device and every add_keyframe now runs on the mapper
-            # device.)
-            self.params = jax.device_put(self.params, self.mapper_device)
-            self.map_opt_state = jax.device_put(self.map_opt_state,
-                                                self.mapper_device)
-            self.kf_db.rays = jax.device_put(self.kf_db.rays,
-                                             self.mapper_device)
-            self.kf_poses = jax.device_put(self.kf_poses, self.mapper_device)
+            # snapshots cross back over ICI in _publish_params. With a
+            # mapper mesh (parallel.dp > 2) the state is REPLICATED over
+            # the mesh and BA's ray batches shard over it. (The keyframe
+            # ring keeps its donation chain — donation is per-placement
+            # and every add_keyframe now runs on the mapper devices.)
+            self.params = self._mapper_put(self.params)
+            self.map_opt_state = self._mapper_put(self.map_opt_state)
+            self.kf_db.rays = self._mapper_put(self.kf_db.rays)
+            self.kf_poses = self._mapper_put(self.kf_poses)
 
         # Shared state (single-writer flags, like the reference's
         # mapping_idx / tracking_idx / mapping_first_frame).
@@ -79,6 +78,50 @@ class PipelinedCoSLAM(CoSLAM):
         self._frames: Dict[int, Dict] = {}
         self._frames_lock = threading.Lock()
 
+    def _setup_meshes(self, config: Dict):
+        """Heterogeneous pipelined placement: `parallel.dp` / `--devices
+        N` selects the TOTAL device count. The tracker keeps devices[0]
+        to itself (its step latency sets the wall frame rate) and the
+        mapper owns devices[1:N]: with N > 2 those form a ray-DP mesh —
+        BA/first-frame ray batches shard over it, parameters replicate,
+        and XLA reduces the map gradients over ICI — so bundle
+        adjustment scales out across chips while tracking latency stays
+        single-chip. N=2 degenerates to plain second-chip pinning, N<=1
+        runs both streams on one chip (the sequential mode's dp mesh
+        semantics stay with the sequential runtime)."""
+        dp = int((config.get("parallel") or {}).get("dp", 1) or 1)
+        self.mesh = None
+        self.track_mesh = None
+        if dp > len(self.devices):
+            raise ValueError(f"parallel.dp={dp} but only "
+                             f"{len(self.devices)} devices available")
+        if dp > 1:
+            self.tracker_device = self.devices[0]
+            self.mapper_devices = list(self.devices[1:dp])
+            self.mapper_device = self.mapper_devices[0]
+        else:
+            self.mapper_devices = [self.mapper_device]
+        if len(self.mapper_devices) > 1:
+            from jax.sharding import Mesh, NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            n = len(self.mapper_devices)
+            if config["mapping"]["sample"] % n:
+                raise ValueError(
+                    f"mapping.sample={config['mapping']['sample']} not "
+                    f"divisible by the mapper mesh size {n} "
+                    f"(= parallel.dp - 1)")
+            self.map_mesh = Mesh(np.array(self.mapper_devices), ("dp",))
+            self._mapper_target = NamedSharding(self.map_mesh, P())
+        else:
+            self.map_mesh = None
+            self._mapper_target = self.mapper_device
+
+    def _mapper_put(self, x):
+        """Place a value on the mapper's device (or replicate it over
+        the mapper mesh when BA is sharded)."""
+        return jax.device_put(x, self._mapper_target)
+
     def _next_key(self):
         # Both threads consume the shared jax RNG stream; without the
         # guard a read-split-write interleave could hand the SAME subkey
@@ -89,7 +132,7 @@ class PipelinedCoSLAM(CoSLAM):
         # here); mapper-side steps need mapper-committed inputs.
         if (self.tracker_device is not self.mapper_device
                 and threading.current_thread().name == "mapper"):
-            return jax.device_put(k, self.mapper_device)
+            return self._mapper_put(k)
         return k
 
     def _frame_block(self, batch):
@@ -102,7 +145,7 @@ class PipelinedCoSLAM(CoSLAM):
             return blk
         blk_m = batch.get("_dev_block_mapper")
         if blk_m is None:
-            blk_m = jax.device_put(blk, self.mapper_device)
+            blk_m = self._mapper_put(blk)
             batch["_dev_block_mapper"] = blk_m
         return blk_m
 
@@ -117,8 +160,20 @@ class PipelinedCoSLAM(CoSLAM):
         # the mapper device.
         p = super()._pose_dev(frame_id)
         if self.tracker_device is not self.mapper_device:
-            return jax.device_put(p, self.mapper_device)
+            return self._mapper_put(p)
         return p
+
+    def load_checkpoint(self, path: str) -> int:
+        """Resume restores arrays onto the default device; re-pin the
+        mapper-owned state to its placement (second chip / mapper mesh)
+        so the resumed run keeps the pipelined execution geometry."""
+        cursor = super().load_checkpoint(path)
+        if self.mapper_device is not self.tracker_device:
+            self.params = self._mapper_put(self.params)
+            self.map_opt_state = self._mapper_put(self.map_opt_state)
+            self.kf_db.rays = self._mapper_put(self.kf_db.rays)
+            self.kf_poses = self._mapper_put(self.kf_poses)
+        return cursor
 
     # -- parameter snapshot handoff -----------------------------------------
 

@@ -55,25 +55,11 @@ class CoSLAM:
         # mesh; ray batches shard over 'dp', parameters replicate, XLA
         # inserts the gradient psum over ICI (SURVEY §2.7; the reference
         # is single-GPU). Enabled via config `parallel: {dp: N}` or the
-        # CLI `--devices N`.
-        dp = int((config.get("parallel") or {}).get("dp", 1) or 1)
-        if dp > 1:
-            from ..parallel.sharding import make_mesh
-
-            avail = len(jax.devices())
-            if dp > avail:
-                raise ValueError(
-                    f"parallel.dp={dp} but only {avail} devices visible")
-            for name, size in (("tracking.sample",
-                                config["tracking"]["sample"]),
-                               ("mapping.sample",
-                                config["mapping"]["sample"])):
-                if size % dp:
-                    raise ValueError(
-                        f"{name}={size} not divisible by parallel.dp={dp}")
-            self.mesh = make_mesh(dp)
-        else:
-            self.mesh = None
+        # CLI `--devices N`. _setup_meshes sets self.track_mesh /
+        # self.map_mesh (both = the dp mesh here; the pipelined runtime
+        # overrides it with a heterogeneous placement — single-chip
+        # tracker, mapper sharded over the remaining chips).
+        self._setup_meshes(config)
 
         self.bounding_box = np.array(config["mapping"]["bound"], np.float32)
         self.marching_cube_bound = np.array(
@@ -99,14 +85,14 @@ class CoSLAM:
 
         H, W = self.dataset.H, self.dataset.W
         self._track_step = make_tracking_step(self.model, config,
-                                              mesh=self.mesh)
+                                              mesh=self.track_mesh)
         self._first_step = make_first_frame_step(self.model, config,
                                                  self.map_tx, H, W,
-                                                 mesh=self.mesh)
+                                                 mesh=self.map_mesh)
         self._ba_step = make_ba_step(self.model, config, self.map_tx,
                                      num_kf, self.kf_db.num_rays_to_save,
                                      self.kf_db.num_rays_to_save,
-                                     mesh=self.mesh)
+                                     mesh=self.map_mesh)
         # Small-current-block variant: once kf_count >= sample/maxcur_small
         # the dynamic quota fits in a much smaller fixed block (halves the
         # BA ray count vs always padding to `sample`).
@@ -117,24 +103,24 @@ class CoSLAM:
         self._ba_maxcur_small = max(
             128, -(-int(config["mapping"]["min_pixels_cur"]) // 128) * 128)
         self._ba_small_min_kf = -(-sample // self._ba_maxcur_small)  # ceil
-        if self.mesh is not None:  # total BA batch must split over 'dp'
-            n_dev = self.mesh.devices.size
+        if self.map_mesh is not None:  # total BA batch must split over 'dp'
+            n_dev = self.map_mesh.devices.size
             self._ba_maxcur_small = -(-self._ba_maxcur_small
                                       // n_dev) * n_dev
         self._ba_step_small = make_ba_step(
             self.model, config, self.map_tx, num_kf,
             self.kf_db.num_rays_to_save, self.kf_db.num_rays_to_save,
-            maxcur=self._ba_maxcur_small, mesh=self.mesh)
+            maxcur=self._ba_maxcur_small, mesh=self.map_mesh)
         # Optional modes (reference coslam.py:209-249 / :415-500).
         if config["mapping"]["cur_frame_iters"] > 0:
             self._cur_map_tx = _adam_l2(config["mapping"]["lr_embed"],
                                         0.9, 0.99, 1e-15)
             self._cur_map_opt_state = self._cur_map_tx.init(self.params["grid"])
             self._cur_map_step = make_current_frame_step(
-                self.model, config, self._cur_map_tx, mesh=self.mesh)
+                self.model, config, self._cur_map_tx, mesh=self.map_mesh)
         if config["tracking"]["iter_point"] > 0:
             self._track_pc_step = make_tracking_pc_step(self.model, config,
-                                                        mesh=self.mesh)
+                                                        mesh=self.track_mesh)
         self._seed = 0
         self._rng = np.random.default_rng(0)
 
@@ -234,6 +220,32 @@ class CoSLAM:
     def _make_model(self, config: Dict):
         """Hook for variants (ActiveCoSLAM overrides with the beta-head model)."""
         return JointEncoding(config, self.bounding_box)
+
+    def _setup_meshes(self, config: Dict):
+        """Resolve `parallel.dp` into the device meshes the jitted steps
+        are built with: `track_mesh` for the tracking megasteps,
+        `map_mesh` for first-frame/BA/current-frame mapping. Here both
+        are the same 1-D ray-DP mesh over the first dp devices;
+        `self.mesh` keeps the legacy single-mesh view."""
+        dp = int((config.get("parallel") or {}).get("dp", 1) or 1)
+        if dp > 1:
+            from ..parallel.sharding import make_mesh
+
+            avail = len(jax.devices())
+            if dp > avail:
+                raise ValueError(
+                    f"parallel.dp={dp} but only {avail} devices visible")
+            for name, size in (("tracking.sample",
+                                config["tracking"]["sample"]),
+                               ("mapping.sample",
+                                config["mapping"]["sample"])):
+                if size % dp:
+                    raise ValueError(
+                        f"{name}={size} not divisible by parallel.dp={dp}")
+            self.mesh = make_mesh(dp)
+        else:
+            self.mesh = None
+        self.track_mesh = self.map_mesh = self.mesh
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)

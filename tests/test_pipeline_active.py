@@ -36,6 +36,37 @@ def test_pipelined_slam(small_seq):
     assert slam.tracking_idx == 11
 
 
+def test_pipelined_sharded_mapper(small_seq):
+    """Heterogeneous multi-chip placement (`--devices N` with
+    --pipelined): tracker single-chip on device 0, mapper state
+    REPLICATED over a mesh of devices 1..N-1 with BA ray batches
+    sharded over it. Asserts the run completes with sane quality and
+    that the mapper params actually live on the mapper mesh devices
+    (not the tracker's chip)."""
+    import jax
+
+    from coslam_tpu.runtime.pipeline import PipelinedCoSLAM
+
+    cfg = dict(small_seq)
+    cfg["parallel"] = {"dp": 3}  # tracker dev0 + 2-device mapper mesh
+    slam = PipelinedCoSLAM(cfg)
+    assert slam.map_mesh is not None and slam.map_mesh.devices.size == 2
+    assert slam.tracker_device is jax.devices()[0]
+    leaf = jax.tree_util.tree_leaves(slam.params)[0]
+    assert set(leaf.sharding.device_set) == set(jax.devices()[1:3])
+
+    res = slam.run(verbose=False, eval_ate=True)
+    ate = res["absolute_translational_error.rmse"]
+    assert np.isfinite(ate) and ate < 0.08
+    assert slam.tracking_idx == 11
+    # BA outputs stayed on the mapper placement all run.
+    leaf = jax.tree_util.tree_leaves(slam.params)[0]
+    assert set(leaf.sharding.device_set) == set(jax.devices()[1:3])
+    # The tracker's published snapshot sits on the tracker chip.
+    snap = jax.tree_util.tree_leaves(slam._shared_params)[0]
+    assert set(snap.sharding.device_set) == {jax.devices()[0]}
+
+
 def test_pipeline_params_ownership(small_seq):
     """The mapper thread OWNS self.params: no tracker-side write may
     ever clobber a finished BA update (the round-1 swap/restore race).
