@@ -90,6 +90,11 @@ def _save_outputs(out_png: str, rgb: np.ndarray, depth: np.ndarray,
     from .viz import colormap_image
 
     mask = (depth > 0) & (depth < depth_trunc)
+    if not mask.any():
+        # Degenerate/under-trained map: no valid depth pixel to scale the
+        # colormap by — render the raw depth instead of crashing on an
+        # empty masked array.
+        mask = None
     dvis = colormap_image(depth, mask, invalid_color=(1.0, 1.0, 1.0))
     comp = np.hstack([np.clip(rgb, 0, 1), dvis])
     os.makedirs(os.path.dirname(os.path.abspath(out_png)), exist_ok=True)
@@ -124,6 +129,13 @@ def main(argv=None) -> Dict:
                         "(needs --frame)")
     args = p.parse_args(argv)
 
+    if args.frame is None:
+        # These flags are meaningless without a dataset frame; erroring
+        # beats silently rendering without the requested comparison.
+        for flag in ("compare", "use_depth", "gt_pose"):
+            if getattr(args, flag):
+                p.error(f"--{flag} requires --frame")
+
     import jax
     import jax.numpy as jnp
 
@@ -143,20 +155,30 @@ def main(argv=None) -> Dict:
     params = jax.tree_util.tree_map(jnp.asarray, params)
 
     # Camera + optional dataset frame. The loader applies downsample /
-    # crop to the config intrinsics, so when a dataset is in play the
-    # render uses ITS H/W/fx... (matching the sensor frames); a pure
-    # --pose render uses the raw config camera.
+    # crop to the config intrinsics, so any --frame render uses the
+    # dataset's H/W/fx... when the data is on disk (keeping the camera
+    # identical across --frame invocations regardless of other flags);
+    # a pure --pose render — or a --frame render with the dataset
+    # missing — uses the raw config camera.
     cam = cfg["cam"]
     H, W = cam["H"], cam["W"]
     fx, fy, cx, cy = cam["fx"], cam["fy"], cam["cx"], cam["cy"]
     batch = None
-    if args.frame is not None and (args.compare or args.use_depth
-                                   or args.gt_pose):
+    if args.frame is not None:
         from ..data import get_dataset
 
-        ds = get_dataset(cfg)
-        H, W, fx, fy, cx, cy = ds.H, ds.W, ds.fx, ds.fy, ds.cx, ds.cy
-        batch = ds[args.frame]
+        need_data = args.compare or args.use_depth or args.gt_pose
+        try:
+            ds = get_dataset(cfg)
+            H, W, fx, fy, cx, cy = ds.H, ds.W, ds.fx, ds.fy, ds.cx, ds.cy
+            batch = ds[args.frame]
+        except Exception as e:
+            if need_data:
+                raise SystemExit(
+                    f"--compare/--use_depth/--gt_pose need the dataset at "
+                    f"{cfg['data'].get('datadir')}: {e}")
+            print(f"note: dataset unavailable ({e}); rendering with raw "
+                  "config intrinsics")
 
     if args.pose is not None:
         c2w = np.loadtxt(args.pose).reshape(4, 4).astype(np.float32)
@@ -165,10 +187,10 @@ def main(argv=None) -> Dict:
     elif args.gt_pose:
         c2w = np.asarray(batch["c2w"], np.float32)
     else:
-        c2w = np.asarray(est_c2w[args.frame], np.float32)
-        if not np.any(c2w):
+        if args.frame >= len(est_c2w) or not np.any(est_c2w[args.frame]):
             raise SystemExit(f"frame {args.frame} has no estimated pose "
                              f"in {args.ckpt} (untracked)")
+        c2w = np.asarray(est_c2w[args.frame], np.float32)
 
     target_d = np.asarray(batch["depth"]) if (args.use_depth and batch
                                               is not None) else None
