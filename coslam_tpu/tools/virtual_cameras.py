@@ -89,3 +89,70 @@ def create_virtual_cameras(gt_mesh: TriMesh, traj_poses: List[np.ndarray],
     for i, c2w in enumerate(chosen):
         np.savetxt(os.path.join(out_dir, f"{i}.txt"), c2w)
     return chosen
+
+
+def main(argv=None):
+    """CLI: create virtual cameras for a dataset, starting from either a
+    ready GT mesh (--gt_mesh) or RAW RGB-D — in which case the stream is
+    first TSDF-fused into a GT mesh (tools/tsdf_fusion.py), matching the
+    reference tool's flow (reference:
+    evaluation/create_virtual_cameras_replica.py:35-117, which fuses
+    with open3d before the interactive viewpoint capture)."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="virtual-camera creation for the Co-SLAM culling "
+                    "protocol (headless greedy-coverage selection)")
+    p.add_argument("--config", required=True)
+    p.add_argument("--gt_mesh", default=None,
+                   help="existing GT mesh .ply; omitted -> TSDF-fuse the "
+                        "dataset's RGB-D stream first")
+    p.add_argument("--out_dir", default=None,
+                   help="default: <datadir>/virtual_cameras")
+    p.add_argument("--save_fused", default=None,
+                   help="also save the fused GT mesh here (.ply)")
+    p.add_argument("--voxel_size", type=float, default=0.02)
+    p.add_argument("--every", type=int, default=5,
+                   help="fuse every Nth frame when building the GT mesh")
+    p.add_argument("--n_candidates", type=int, default=200)
+    p.add_argument("--n_select", type=int, default=20)
+    args = p.parse_args(argv)
+
+    from ..config import load_config
+    from ..data import get_dataset
+    from ..mesh.io import load_ply
+
+    cfg = load_config(args.config)
+    ds = get_dataset(cfg)
+    poses = [np.asarray(ds[i]["c2w"], np.float64)
+             for i in range(0, len(ds), max(args.every, 1))]
+
+    if args.gt_mesh:
+        gt_mesh = load_ply(args.gt_mesh)
+    else:
+        from .tsdf_fusion import fuse_frames, tsdf_mesh
+
+        trunc = 4 * args.voxel_size
+        depths = [np.asarray(ds[i]["depth"], np.float32)
+                  for i in range(0, len(ds), max(args.every, 1))]
+        vol, _, axes = fuse_frames(
+            depths, poses, ds.fx, ds.fy, ds.cx, ds.cy,
+            np.asarray(cfg["mapping"]["bound"], np.float32),
+            args.voxel_size, trunc,
+            depth_trunc=cfg["cam"]["depth_trunc"], verbose=True)
+        gt_mesh = tsdf_mesh(vol, axes, trunc)
+        print(f"TSDF-fused GT mesh: {len(gt_mesh.vertices)} verts")
+        if args.save_fused:
+            gt_mesh.export(args.save_fused)
+
+    out_dir = args.out_dir or os.path.join(
+        cfg["data"]["datadir"], "virtual_cameras")
+    chosen = create_virtual_cameras(
+        gt_mesh, poses, out_dir, ds.fx, ds.fy, ds.cx, ds.cy, ds.H, ds.W,
+        n_candidates=args.n_candidates, n_select=args.n_select)
+    print(f"wrote {len(chosen)} virtual cameras to {out_dir}")
+    return chosen
+
+
+if __name__ == "__main__":
+    main()
