@@ -229,9 +229,12 @@ class PipelinedCoSLAM(CoSLAM):
                     return
                 # Throttle: don't run too far ahead of the mapper
                 # (reference mp_slam/tracker.py:150-152).
-                while (self.mapping_idx < i - map_every - map_every // 2
-                       and not self._stop):
-                    time.sleep(0.002)
+                if self.mapping_idx < i - map_every - map_every // 2:
+                    with self._event("throttle"):
+                        while (self.mapping_idx
+                               < i - map_every - map_every // 2
+                               and not self._stop):
+                            time.sleep(0.002)
                 self.frame_walls.append(time.perf_counter())
                 # Track against the latest published snapshot WITHOUT
                 # touching self.params — the mapper thread owns it and
@@ -288,9 +291,11 @@ class PipelinedCoSLAM(CoSLAM):
                     batch = self._frames.pop(next_map, None)
                 if batch is None:
                     batch = self.dataset[next_map]
-                self.global_BA(batch, next_map)
+                with self._event("ba"):
+                    self.global_BA(batch, next_map)
                 if next_map % kf_every == 0:
-                    self.add_keyframe(batch)
+                    with self._event("keyframe"):
+                        self.add_keyframe(batch)
                 self._publish_params()
                 self.mapping_idx = next_map
                 if ckpt_every and next_map % ckpt_every == 0 \
@@ -299,9 +304,12 @@ class PipelinedCoSLAM(CoSLAM):
                     # tracked + mapped + keyframed (tracker-ahead frames
                     # simply re-track on resume). The FIFO drain inside
                     # save_checkpoint serializes under the pending lock.
-                    self.save_checkpoint(
-                        os.path.join(out, f"checkpoint{next_map}{self._ckpt_ext}"),
-                        frame_cursor=next_map + 1, async_write=True)
+                    with self._event("checkpoint"):
+                        self.save_checkpoint(
+                            os.path.join(
+                                out,
+                                f"checkpoint{next_map}{self._ckpt_ext}"),
+                            frame_cursor=next_map + 1, async_write=True)
                 # Periodic mesh + ATE from the mapper, like the reference
                 # (mp_slam/mapper.py:222-231) — handed to the single-flight
                 # mesh worker so BA keeps its cadence. The pose-table
@@ -310,7 +318,8 @@ class PipelinedCoSLAM(CoSLAM):
                 # benign race on its shared pose tensor.
                 vis = cfg["mesh"]["vis"]
                 if vis and next_map % vis == 0:
-                    self._periodic_mesh_eval(next_map, *self._vis_ctx)
+                    with self._event("mesh_eval"):
+                        self._periodic_mesh_eval(next_map, *self._vis_ctx)
                 next_map += map_every
             self._chain_keep = total  # tracker may prune freely now
             self.mapping_idx = total  # release any throttled tracker
@@ -357,6 +366,7 @@ class PipelinedCoSLAM(CoSLAM):
         self.defer_readback = True
         self._chain_keep = 0
         self.frame_walls = []
+        self.frame_events = []
 
         mapper = threading.Thread(target=self._mapper_loop,
                                   args=(total, start, ckpt_every, out),

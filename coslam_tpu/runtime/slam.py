@@ -24,6 +24,7 @@ coslam.py:31-722). Differences by design:
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
@@ -64,6 +65,11 @@ class CoSLAM:
         self.bounding_box = np.array(config["mapping"]["bound"], np.float32)
         self.marching_cube_bound = np.array(
             config["mapping"]["marching_cubes_bound"], np.float32)
+
+        # Latency bookkeeping (runtime/latency.py): per-frame wall
+        # timestamps + (t0, t1, tag) spans around tail-inducing events.
+        self.frame_walls = []
+        self.frame_events = []
 
         n = self.dataset.num_frames
         self.est_c2w = np.zeros((n, 4, 4), np.float32)
@@ -246,6 +252,18 @@ class CoSLAM:
         else:
             self.mesh = None
         self.track_mesh = self.map_mesh = self.mesh
+
+    @contextlib.contextmanager
+    def _event(self, tag: str):
+        """Record a (t0, t1, tag) span for frame-tail attribution
+        (runtime/latency.attribute_tails). Host-side cost only; device
+        work dispatched inside the span overlaps later frames, so the
+        span marks the DISPATCH, which is what delays the next frame."""
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.frame_events.append((t0, time.perf_counter(), tag))
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
@@ -908,6 +926,7 @@ class CoSLAM:
         # insertion / deferred-readback drains — the end-to-end frame
         # rate, which per-phase timings alone no longer bound).
         self.frame_walls = []
+        self.frame_events = []
         for i, batch in frames:
             self.frame_walls.append(time.perf_counter())
             if visualise:
@@ -918,8 +937,10 @@ class CoSLAM:
                 jax.profiler.stop_trace()
             if ckpt_every and i > start_frame and i % ckpt_every == 0:
                 # State covers frames [0, i): resume continues AT i.
-                self.save_checkpoint(os.path.join(out, f"checkpoint{i}{self._ckpt_ext}"),
-                                     frame_cursor=i, async_write=True)
+                with self._event("checkpoint"):
+                    self.save_checkpoint(
+                        os.path.join(out, f"checkpoint{i}{self._ckpt_ext}"),
+                        frame_cursor=i, async_write=True)
             if i == 0:
                 loss = self.first_frame_mapping(batch)
                 if cfg["mapping"]["first_mesh"]:
@@ -941,14 +962,17 @@ class CoSLAM:
                       f"pose L1 vs gt: {err:.5f}")
 
             if i % cfg["mapping"]["map_every"] == 0:
-                self.current_frame_mapping(batch, i)
-                self.global_BA(batch, i)
+                with self._event("ba"):
+                    self.current_frame_mapping(batch, i)
+                    self.global_BA(batch, i)
 
             if i % cfg["mapping"]["keyframe_every"] == 0:
-                self.add_keyframe(batch)
+                with self._event("keyframe"):
+                    self.add_keyframe(batch)
 
             if cfg["mesh"]["vis"] and i % cfg["mesh"]["vis"] == 0:
-                self._periodic_mesh_eval(i, out, eval_ate)
+                with self._event("mesh_eval"):
+                    self._periodic_mesh_eval(i, out, eval_ate)
 
         self._resolve_track_pending()  # count in-flight device work
         self.frame_walls.append(time.perf_counter())
