@@ -136,6 +136,17 @@ class JointEncoding:
 
             self._grid_lattice_tv = plane_tv
             return lambda p, axes: TP.triplane_lattice_encode(spec, p, axes)
+        # Hash (packed): no separable structure, but the TV lattice
+        # points are CONSTANTS — use a no-dx encode so the backward
+        # skips the whole input-gradient reduction chain (the custom
+        # VJP computes it unconditionally otherwise; XLA cannot DCE
+        # through the custom_vjp boundary).
+        if config["grid"].get("grad_impl", "auto") in ("auto", "packed") \
+                and jax.default_backend() not in ("cpu", "gpu"):
+            from ..ops import hash_packed as HP
+            if isinstance(self.grid_spec, HP.PackedGridSpec):
+                self._smooth_encode = HP.make_packed_encode(
+                    self.grid_spec, jnp.bfloat16, need_dx=False)
         return None
 
     def _build_decoder(self, config: Dict):
@@ -432,6 +443,10 @@ class JointEncoding:
             return L.smoothness_tv(emb, sample_points)
         pts_norm = self.smoothness_points(key, sample_points, voxel_size,
                                           margin)
+        if getattr(self, "_smooth_encode", None) is not None:
+            g = sample_points - 1
+            emb = self._smooth_encode(params["grid"], pts_norm)
+            return L.smoothness_tv(emb.reshape(g, g, g, -1), sample_points)
         emb = self.query_sdf(params, pts_norm.reshape(
             sample_points - 1, sample_points - 1, sample_points - 1, 3),
             embed=True)

@@ -550,7 +550,8 @@ def _cell_table_grad(spec: PackedGridSpec, crows: jnp.ndarray, streams,
 # ---------------------------------------------------------------------------
 
 def make_packed_encode(spec: PackedGridSpec, compute_dtype=jnp.bfloat16,
-                       interpret: bool = False, cell_dense: bool = True):
+                       interpret: bool = False, cell_dense: bool = True,
+                       need_dx: bool = True):
     """Returns encode(table, x) -> [N, L*F] with:
 
     - forward: pack -> wide lane-gathers (ONE per (point, level) on the
@@ -563,6 +564,10 @@ def make_packed_encode(spec: PackedGridSpec, compute_dtype=jnp.bfloat16,
 
     cell_dense=False falls back to the all-pair path (comparison
     baseline; no numeric difference).
+    need_dx=False returns ZERO input gradients and skips the whole dx
+    reduction chain in the backward — for callers whose points are
+    constants (the BA smoothness lattice), where the dx math is pure
+    waste (XLA cannot DCE it through the custom_vjp boundary).
     """
     nd = _n_dense(spec) if cell_dense else 0
     nh = spec.n_levels - nd
@@ -599,13 +604,18 @@ def make_packed_encode(spec: PackedGridSpec, compute_dtype=jnp.bfloat16,
     def fwd(table, x):
         out, (crows, e_h, p0, p1) = _forward(table, x)
         # Residuals: x is tiny; pair features saved in compute dtype.
+        # The pair features only feed the dx chain — skip them entirely
+        # for need_dx=False callers.
+        if not need_dx:
+            return out, (x, crows, e_h, None, None)
         return out, (x, crows, e_h,
                      p0.astype(compute_dtype), p1.astype(compute_dtype))
 
     def bwd(res, g):
         x, crows, e, p0c, p1c = res
-        p0 = p0c.astype(x.dtype)
-        p1 = p1c.astype(x.dtype)
+        if need_dx:
+            p0 = p0c.astype(x.dtype)
+            p1 = p1c.astype(x.dtype)
         n = x.shape[0]
         L, F = spec.n_levels, spec.n_features
         # Recompute weights from x (vector math, no HBM gather).
@@ -614,25 +624,30 @@ def make_packed_encode(spec: PackedGridSpec, compute_dtype=jnp.bfloat16,
         wxy = _xy_weights(w)                                   # [L, 4, N]
         gl = g.reshape(n, L, F).transpose(2, 1, 0)             # [F, L, N]
 
-        featz = p0 * (1 - wz)[None, :, None] + p1 * wz[None, :, None]
-        diffz = p1 - p0                                        # [F, L, 4, N]
+        if need_dx:
+            featz = p0 * (1 - wz)[None, :, None] + p1 * wz[None, :, None]
+            diffz = p1 - p0                                    # [F, L, 4, N]
 
-        # --- dx ---------------------------------------------------------
-        # d enc/d wxy_c = sum_f featz[f,l,c] * gl[f,l]
-        dwxy = jnp.sum(featz * gl[:, :, None], axis=0)         # [L, 4, N]
-        # d enc/d wz = sum_{f,c} wxy_c * diffz * gl
-        dwz = jnp.sum(jnp.sum(diffz * gl[:, :, None], axis=0) * wxy, axis=1)
-        # wxy corners: [(1-wx)(1-wy), (1-wx)wy, wx(1-wy), wx wy]
-        dwx = (-dwxy[:, 0] * (1 - wy) - dwxy[:, 1] * wy
-               + dwxy[:, 2] * (1 - wy) + dwxy[:, 3] * wy)
-        dwy = (-dwxy[:, 0] * (1 - wx) + dwxy[:, 1] * (1 - wx)
-               - dwxy[:, 2] * wx + dwxy[:, 3] * wx)
-        res_f = jnp.array(spec.resolutions, dtype=x.dtype)[:, None]
-        # d pos/d x = res; w = pos - cell (cell piecewise const).
-        dx = jnp.stack([jnp.sum(dwx * res_f, 0), jnp.sum(dwy * res_f, 0),
-                        jnp.sum(dwz * res_f, 0)], axis=-1)     # [N, 3]
-        # Zero dx where x was clipped outside [0, 1].
-        dx = dx * ((x >= 0.0) & (x <= 1.0)).astype(x.dtype)
+            # --- dx -----------------------------------------------------
+            # d enc/d wxy_c = sum_f featz[f,l,c] * gl[f,l]
+            dwxy = jnp.sum(featz * gl[:, :, None], axis=0)     # [L, 4, N]
+            # d enc/d wz = sum_{f,c} wxy_c * diffz * gl
+            dwz = jnp.sum(jnp.sum(diffz * gl[:, :, None], axis=0) * wxy,
+                          axis=1)
+            # wxy corners: [(1-wx)(1-wy), (1-wx)wy, wx(1-wy), wx wy]
+            dwx = (-dwxy[:, 0] * (1 - wy) - dwxy[:, 1] * wy
+                   + dwxy[:, 2] * (1 - wy) + dwxy[:, 3] * wy)
+            dwy = (-dwxy[:, 0] * (1 - wx) + dwxy[:, 1] * (1 - wx)
+                   - dwxy[:, 2] * wx + dwxy[:, 3] * wx)
+            res_f = jnp.array(spec.resolutions, dtype=x.dtype)[:, None]
+            # d pos/d x = res; w = pos - cell (cell piecewise const).
+            dx = jnp.stack([jnp.sum(dwx * res_f, 0),
+                            jnp.sum(dwy * res_f, 0),
+                            jnp.sum(dwz * res_f, 0)], axis=-1)  # [N, 3]
+            # Zero dx where x was clipped outside [0, 1].
+            dx = dx * ((x >= 0.0) & (x <= 1.0)).astype(x.dtype)
+        else:
+            dx = jnp.zeros_like(x)
 
         # --- dtable (cell-RMW on the dense prefix, pair-scatter on the
         # hashed suffix) --------------------------------------------------

@@ -133,3 +133,24 @@ def test_cell_storage_roundtrip():
                            + cz + c)
                 for f in range(F):
                     assert st[k * F + f, row] == float(table[logical, f])
+
+
+def test_need_dx_false_matches_and_zeroes_dx():
+    """need_dx=False: identical forward + dtable, zero dx, no dx chain."""
+    spec = _mixed_spec()
+    key = jax.random.PRNGKey(5)
+    table = jax.random.normal(key, (spec.total_entries, spec.n_features))
+    x = jax.random.uniform(jax.random.PRNGKey(6), (129, 3))
+    g = jax.random.normal(jax.random.PRNGKey(7), (129, spec.out_dim))
+    full = HP.make_packed_encode(spec, compute_dtype=jnp.float32,
+                                 interpret=True)
+    nodx = HP.make_packed_encode(spec, compute_dtype=jnp.float32,
+                                 interpret=True, need_dx=False)
+    np.testing.assert_allclose(nodx(table, x), full(table, x),
+                               rtol=1e-6, atol=1e-6)
+    loss = lambda enc, t, xx: jnp.sum(enc(t, xx) * g)
+    d_t_full, d_x_full = jax.grad(loss, argnums=(1, 2))(full, table, x)
+    d_t_nodx, d_x_nodx = jax.grad(loss, argnums=(1, 2))(nodx, table, x)
+    np.testing.assert_allclose(d_t_nodx, d_t_full, rtol=1e-5, atol=1e-5)
+    assert np.abs(d_x_full).max() > 0  # the full path has real dx
+    np.testing.assert_array_equal(np.asarray(d_x_nodx), 0.0)
