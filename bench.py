@@ -268,6 +268,16 @@ def main():
         print(f"pipelined wall-fps measurement skipped: {e}",
               file=sys.stderr)
 
+    # ---- TUM operating point (VERDICT r2 #2) ----------------------------
+    # The reference's second headline protocol: n_importance 128 (second
+    # network pass), 20 BA iters, hash_size 16 (BASELINE.md TUM table:
+    # tracking 7.5 ms x 10 = 13.33 FPS, mapping 19.0 ms x 20 = 2.63 FPS).
+    tum = {}
+    try:
+        tum = _measure_tum(time_fn, rand_rays, progress)
+    except Exception as e:
+        print(f"TUM bench skipped: {e}", file=sys.stderr)
+
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(json.dumps({
         "metric": "tracking_fps_replica",
@@ -323,10 +333,75 @@ def main():
             tri_track_ms + tri_ba_ms / cfg["mapping"]["map_every"]), 2),
         "triplane_tracking_ms": round(alt_enc["TriPlane"][0], 2),
         "triplane_mapping_ms": round(alt_enc["TriPlane"][1], 2),
+        **tum,
         **wall,
         "n_params": int(n_params),
         "device": str(jax.devices()[0]),
     }))
+
+
+def _measure_tum(time_fn, rand_rays, progress):
+    """TUM fr1/desk cycle times, HashGrid parity + TensoVM flagship.
+
+    Parity protocol = configs/Tum/fr1_desk.yaml exactly: hash_size 16,
+    85 first-pass samples/ray + n_importance 128 second pass, 10
+    tracking iters x 1024 rays, 20 BA iters x 2048+cur rays (reference
+    configs/Tum/tum.yaml; baseline evaluation/README.md TUM table).
+    Flagship = configs/Tum/fr1_desk_vm.yaml (TensoVM, range-d
+    concentration replacing the importance pass — quality measured
+    equivalent, results/BENCH_QUALITY_TUM.json).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from coslam_tpu.config import load_config
+    from coslam_tpu.models.scene_rep import JointEncoding
+    from coslam_tpu.runtime.keyframe import RAY_CHUNK, pack_rays
+    from coslam_tpu.runtime.mapping import make_ba_step
+    from coslam_tpu.runtime.optim import make_map_optimizer
+    from coslam_tpu.runtime.tracking import make_tracking_step
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out = {}
+    key = jax.random.PRNGKey(0)
+    for tag, yaml_name, n_ba_iter in (("tum", "fr1_desk.yaml", 2),
+                                      ("tum_flagship",
+                                       "fr1_desk_vm.yaml", 5)):
+        cfg = load_config(os.path.join(here, "configs", "Tum", yaml_name))
+        H, W = cfg["cam"]["H"], cfg["cam"]["W"]
+        bb = np.array(cfg["mapping"]["bound"], np.float32)
+        model = JointEncoding(cfg, bb)
+        params = model.init_params(key)
+        map_tx = make_map_optimizer(cfg)
+        opt_state = map_tx.init(params)
+
+        num_kf = 2000 // cfg["mapping"]["keyframe_every"] + 1
+        rays_per_kf = int(H * W * cfg["mapping"]["n_pixels"])
+        rays_per_kf -= rays_per_kf % RAY_CHUNK
+        kf_rays = jax.jit(pack_rays)(
+            rand_rays(jax.random.PRNGKey(1), num_kf * rays_per_kf
+                      ).reshape(num_kf, rays_per_kf, 7))
+        kf_poses = jnp.tile(jnp.eye(4), (num_kf, 1, 1)).astype(jnp.float32)
+        cur_rays = rand_rays(jax.random.PRNGKey(2), H * W)
+        track_rays = rand_rays(jax.random.PRNGKey(3),
+                               cfg["tracking"]["sample"])
+        track = make_tracking_step(model, cfg)
+        ba = make_ba_step(model, cfg, map_tx, num_kf, rays_per_kf,
+                          rays_per_kf, maxcur=128)
+        kf_count = jnp.int32(100)
+        t_ms = time_fn(lambda: track(params, jnp.eye(4), track_rays,
+                                     key)[1], n_warmup=1, n_iter=5)
+        b_ms = time_fn(lambda: ba(params, opt_state, kf_rays, kf_count,
+                                  kf_poses, jnp.eye(4), cur_rays, key)[4],
+                       n_warmup=1, n_iter=n_ba_iter)
+        out[f"{tag}_tracking_ms"] = round(t_ms, 2)
+        out[f"{tag}_tracking_fps_vs_baseline"] = round(
+            1000.0 / t_ms / 13.33, 3)
+        out[f"{tag}_mapping_ms"] = round(b_ms, 2)
+        out[f"{tag}_mapping_fps_vs_baseline"] = round(
+            1000.0 / b_ms / 2.63, 3)
+        progress(f"{tag}: track {t_ms:.1f} ms, BA {b_ms:.1f} ms")
+    return out
 
 
 def _measure_wall_fps(n_frames: int = 110, H: int = 480, W: int = 640,
@@ -365,6 +440,7 @@ def _measure_wall_fps(n_frames: int = 110, H: int = 480, W: int = 640,
     slam = (PipelinedCoSLAM if pipelined else CoSLAM)(cfg)
     slam.run(verbose=False, eval_ate=False)
     walls = slam.frame_walls
+    events = getattr(slam, "frame_events", [])
     # Steady-state window: past the once-per-process megastep cache
     # loads AND past the keyframe count where BA switches to its
     # small-current-block variant (the long-run operating regime).
@@ -378,11 +454,17 @@ def _measure_wall_fps(n_frames: int = 110, H: int = 480, W: int = 640,
     # stragglers unrelated to the workload; report the raw window FPS
     # plus the frame-time distribution so both are visible.
     pre = "pipelined_" if pipelined else "system_"
+    from coslam_tpu.runtime.latency import attribute_tails
+    tail = attribute_tails(walls[lo:hi + 1],
+                           [e for e in events
+                            if e[1] > walls[lo] and e[0] < walls[hi]])
     return {
         pre + "fps_wall_measured": round((hi - lo)
                                          / (walls[hi] - walls[lo]), 2),
         pre + "frame_ms_p50": round(float(np.percentile(dts, 50)), 1),
         pre + "frame_ms_p90": round(float(np.percentile(dts, 90)), 1),
+        pre + "frame_ms_p99": round(float(np.percentile(dts, 99)), 1),
+        pre + "tail_attribution": tail,
     }
 
 
