@@ -87,6 +87,30 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long end-to-end protocol runs")
+    config.addinivalue_line(
+        "markers", "fast: unit/numeric tier (`pytest -m fast` < 2 min)")
+
+
+# Compile-heavy integration files excluded from the fast tier (measured
+# per-file wall times; everything else sums to ~100 s on this host).
+_FAST_EXCLUDE = {
+    "test_integration",        # ~300 s: full SLAM loops on the CPU mesh
+    "test_pipeline_active",    # ~140 s: threaded pipeline runs
+    "test_cli",                # ~125 s: CLI end-to-end incl. crash-resume
+    "test_benchmark_protocol", # ~65 s: culling/virtual-cam protocol
+    "test_render_view",        # ~45 s: full-image renders
+    "test_tensovm",            # ~30 s: lattice TV equivalences
+    "test_synth_tum",          # ~24 s: TUM-format loader e2e
+    "test_synth_scannet",      # ~22 s: ScanNet-format loader e2e
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod not in _FAST_EXCLUDE \
+                and item.get_closest_marker("slow") is None:
+            item.add_marker(pytest.mark.fast)
 
 
 @pytest.fixture
