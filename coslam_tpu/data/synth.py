@@ -270,6 +270,72 @@ class AnalyticApartment(AnalyticScene):
         return out.astype(np.float32)
 
 
+class AnalyticThinScene(AnalyticScene):
+    """Thin-geometry stress scene: the analog of the reference's worst
+    SyntheticRGBD case ("thin geometry", evaluation/benchmark/rgbd/
+    README.md — Co-SLAM's own depth-L1 there is 4.66 cm). The room holds
+    only centimeter-scale structures: two ~3.5 cm plates (one standing,
+    one floating shelf), a 3 cm rod, and a table whose top and legs are
+    all thin. Thin slabs are where TSDF-style SDF supervision erodes
+    surfaces (opposite-sign observations a few cm apart) and where
+    marching cubes needs the truncation-validity rules to not seal
+    sheets shut.
+
+    _parts keeps the base class's 4-slot layout (room, A, B, C) so the
+    inherited textured albedo applies unchanged."""
+
+    rod_c = np.array([0.55, -1.30, -0.90], np.float32)
+    rod_r = 0.03
+    rod_h = 0.70
+
+    def _parts(self, p: np.ndarray, xp=np) -> Tuple[np.ndarray, ...]:
+        room = _ROOM_HALF - xp.abs(p).max(axis=-1)
+
+        def sd_box(c, half):
+            q = xp.abs(p - xp.asarray(c, np.float32)) \
+                - xp.asarray(half, np.float32)
+            return (xp.linalg.norm(xp.maximum(q, 0.0), axis=-1)
+                    + xp.minimum(q.max(axis=-1), 0.0))
+
+        # Standing plate + floating shelf (one thin axis each).
+        plates = xp.minimum(
+            sd_box([-0.70, -1.45, 0.65], [0.018, 0.55, 0.40]),
+            sd_box([0.75, -0.90, 0.75], [0.35, 0.016, 0.30]))
+
+        # Vertical rod (capped thin cylinder).
+        pc = p - self.rod_c
+        dxz = xp.sqrt(pc[..., 0] ** 2 + pc[..., 2] ** 2) - self.rod_r
+        dy = xp.abs(pc[..., 1]) - self.rod_h
+        rod = (xp.minimum(xp.maximum(dxz, dy), 0.0)
+               + xp.sqrt(xp.maximum(dxz, 0.0) ** 2
+                         + xp.maximum(dy, 0.0) ** 2))
+
+        # Table: thin top + 4 thin legs.
+        table = sd_box([-0.85, -1.05, -0.70], [0.40, 0.018, 0.30])
+        for sx in (-1, 1):
+            for sz in (-1, 1):
+                table = xp.minimum(table, sd_box(
+                    [-0.85 + 0.34 * sx, -1.50, -0.70 + 0.24 * sz],
+                    [0.022, 0.43, 0.022]))
+        return room, plates, rod, table
+
+
+class AnalyticPlainScene(AnalyticScene):
+    """Texture-poor variant: identical geometry to AnalyticScene but a
+    near-uniform matte albedo (~5% contrast, low-frequency only). This
+    is the photometric-degenerate regime — tracking must lean on the
+    depth/SDF terms because image gradients are weak, the failure mode
+    texture-rich synthetic scenes can hide (VERDICT r2 Next #6)."""
+
+    def albedo(self, p: np.ndarray, xp=np) -> np.ndarray:
+        p = xp.asarray(p, np.float32)
+        px, py, pz = p[..., 0], p[..., 1], p[..., 2]
+        v = (0.55 + 0.035 * xp.sin(1.7 * px + 0.3) * xp.sin(1.3 * py)
+             + 0.025 * xp.sin(1.1 * pz + 0.5))
+        out = xp.stack([v, v * 0.97, v * 0.94], axis=-1)
+        return xp.clip(out, 0.0, 1.0).astype(np.float32)
+
+
 def render_frame(scene: AnalyticScene, c2w: np.ndarray, H: int, W: int,
                  fx: float, fy: float, cx: float, cy: float,
                  max_steps: int = 96, far: float = 12.0

@@ -73,6 +73,13 @@ def main(argv=None):
                    help="mesh culling strategy; 'coslam' (default) is the "
                         "reference protocol: frustum + occlusion + virtual "
                         "cameras (evaluation/README.md)")
+    p.add_argument("--scene", default=None,
+                   choices=["room", "apartment", "thin", "plain"],
+                   help="analytic scene override (default: by protocol — "
+                        "scannet->apartment, else room). 'thin' = "
+                        "cm-scale plates/rod/table (the reference's "
+                        "worst RGBD case), 'plain' = texture-poor room "
+                        "(photometric-degenerate tracking)")
     args = p.parse_args(argv)
 
     import jax
@@ -97,7 +104,12 @@ def main(argv=None):
 
     H, W = (int(v) for v in args.hw.split("x"))
     work = args.workdir or tempfile.mkdtemp(prefix="coslam_quality_")
-    datadir = os.path.join(work, "scene")
+    default_scene = "apartment" if args.protocol == "scannet" else "room"
+    scene_name = args.scene or default_scene
+    # Scene-suffixed data dir so a persistent --workdir never mixes
+    # renders of different scenes (default scene keeps the legacy name).
+    datadir = os.path.join(work, "scene" if scene_name == default_scene
+                           else f"scene_{scene_name}")
     if args.protocol == "tum":
         cfg = make_tum_synthetic_config(datadir, os.path.join(work, "out"),
                                         H=H, W=W, n_frames=args.frames)
@@ -148,8 +160,10 @@ def main(argv=None):
                 val = raw
         cfg.setdefault(sec, {})[key] = val
 
-    scene = AnalyticApartment() if args.protocol == "scannet" \
-        else AnalyticScene()
+    from ..data.synth import AnalyticPlainScene, AnalyticThinScene
+    scene = {"room": AnalyticScene, "apartment": AnalyticApartment,
+             "thin": AnalyticThinScene,
+             "plain": AnalyticPlainScene}[scene_name]()
     cam = cfg["cam"]
     print(f"rendering {args.frames} frames at {H}x{W}...", flush=True)
     if args.protocol == "tum":
@@ -173,8 +187,10 @@ def main(argv=None):
                              cam["fx"], cam["fy"], cam["cx"], cam["cy"])
 
     # Analytic GT mesh over the scene's bound (~3.4 cm grid spacing,
-    # the single-room protocol's historical 128-point resolution).
-    spacing = 4.4 / 127
+    # the single-room protocol's historical 128-point resolution; the
+    # thin scene needs a finer grid or its cm-scale slabs fall between
+    # grid points and the GT mesh itself grows holes).
+    spacing = 4.4 / 255 if scene_name == "thin" else 4.4 / 127
     lo = scene.bound[:, 0]
     axes = [np.linspace(l, h, int(round((h - l) / spacing)) + 1
                         ).astype(np.float32) for l, h in scene.bound]
@@ -200,6 +216,7 @@ def main(argv=None):
     res["active"] = bool(args.active)
     res["pipelined"] = bool(args.pipelined)
     res["protocol"] = args.protocol
+    res["scene"] = scene_name
     res["n_frames"] = args.frames
     res["resolution"] = f"{H}x{W}"
     res["dagger"] = bool(args.dagger)

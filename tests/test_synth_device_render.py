@@ -57,3 +57,47 @@ def test_make_renderer_cpu_falls_back_to_numpy(monkeypatch):
     rgb, depth = r(c2w)
     rgb2, depth2 = render_frame(scene, c2w, **CAM)
     assert np.array_equal(rgb, rgb2) and np.array_equal(depth, depth2)
+
+
+def test_thin_scene_geometry_and_plain_albedo():
+    """New stress scenes: thin structures actually show up in renders
+    and the GT grid; the plain scene is genuinely texture-poor."""
+    import numpy as np
+
+    from coslam_tpu.data.synth import (AnalyticPlainScene, AnalyticScene,
+                                       AnalyticThinScene,
+                                       make_scan_trajectory, render_frame)
+    from coslam_tpu.mesh.mcubes import marching_cubes
+
+    thin = AnalyticThinScene()
+    # SDF is exact near a plate face: |sdf| equals distance to the face.
+    p = np.array([[-0.70 + 0.018 + 0.05, -1.45, 0.65]])  # 5 cm off plate
+    assert abs(thin.sdf(p)[0] - 0.05) < 1e-5
+    assert thin.sdf(np.array([[-0.70, -1.45, 0.65]]))[0] < 0  # inside
+
+    # Rendered depth differs from the empty-room render where the thin
+    # objects stand (they are visible, not lost by sphere tracing).
+    pose = make_scan_trajectory(40)[20]
+    H, W, fx = 60, 80, 56.0
+    _, d_thin = render_frame(thin, pose, H, W, fx, fx,
+                             (W - 1) / 2, (H - 1) / 2)
+    _, d_room = render_frame(AnalyticScene(), pose, H, W, fx, fx,
+                             (W - 1) / 2, (H - 1) / 2)
+    assert (np.abs(d_thin - d_room) > 0.05).mean() > 0.02
+
+    # Fine-grid marching cubes recovers the thin slabs (non-empty mesh
+    # in the plate's AABB neighborhood).
+    ax = np.linspace(-1.0, -0.4, 40).astype(np.float32)
+    ay = np.linspace(-2.0, -0.9, 60).astype(np.float32)
+    az = np.linspace(0.2, 1.1, 50).astype(np.float32)
+    X, Y, Z = np.meshgrid(ax, ay, az, indexing="ij")
+    sdf = thin.sdf(np.stack([X, Y, Z], -1)).astype(np.float32)
+    v, f = marching_cubes(sdf, 0.0, truncation=3.0)
+    assert len(v) > 100 and len(f) > 100
+
+    plain = AnalyticPlainScene()
+    pts = np.random.default_rng(0).uniform(-2, 2, (5000, 3))
+    alb = plain.albedo(pts)
+    assert alb.std() < 0.05            # texture-poor
+    rich = AnalyticScene().albedo(pts)
+    assert rich.std() > 3 * alb.std()  # vs the textured base scene

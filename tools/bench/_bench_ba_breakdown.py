@@ -48,7 +48,7 @@ def timeit(name, fn, n=10):
 
 
 def main():
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
     cfg = load_config(os.path.join(here, "configs", "Replica", "room0.yaml"))
     # ENC=TensoVM / TriPlane / TriPlaneHybrid selects the encoding;
     # SAMPLES_D overrides training.n_samples_d (TPU operating point).

@@ -62,7 +62,7 @@ def timeit(name, fn, n=10):
 
 
 def main():
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
     cfg = load_config(os.path.join(here, "configs", "Replica", "room0.yaml"))
     if os.environ.get("ENC"):
         cfg["grid"]["enc"] = os.environ["ENC"]

@@ -38,7 +38,7 @@ def timeit(fn, n=10):
 
 
 def main():
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
     base = load_config(os.path.join(here, "configs", "Replica",
                                     "room0.yaml"))
     base["grid"]["enc"] = "TensoVM"

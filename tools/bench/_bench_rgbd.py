@@ -39,7 +39,7 @@ def main():
     from coslam_tpu.runtime.optim import make_map_optimizer
     from coslam_tpu.runtime.tracking import make_tracking_step
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
     n_frames = 1000  # breakfast-room-class sequence; keyframe every 5
 
     def _sync(out):

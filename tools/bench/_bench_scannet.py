@@ -40,7 +40,7 @@ def main():
     from coslam_tpu.runtime.optim import make_map_optimizer
     from coslam_tpu.runtime.tracking import make_tracking_step
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
 
     # scene0000 is ~5578 frames; keyframe every 5. Cap the ray buffer at
     # the reference's own fixed-memory budget for the cycle bench (the

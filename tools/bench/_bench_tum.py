@@ -38,7 +38,7 @@ def main():
     from coslam_tpu.runtime.optim import make_map_optimizer
     from coslam_tpu.runtime.tracking import make_tracking_step
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
     cfg = load_config(os.path.join(here, "configs", "Tum", "fr1_desk.yaml"))
 
     H, W = cfg["cam"]["H"], cfg["cam"]["W"]
