@@ -121,6 +121,12 @@ def run_benchmark(config: Dict, gt_mesh_path: Optional[str] = None,
                             else None,
                             align=False, n_imgs=n_eval_views)
         results["depth_l1_cm"] = round(m2["depth l1"], 3)
+        if "depth l1 surface" in m2:
+            # surface = both-hit pixels only; hole_px_pct = gt-valid
+            # pixels the culled reconstruction misses (coverage, not
+            # geometry, inflates the protocol number via |gt - 0|).
+            results["depth_l1_surface_cm"] = round(m2["depth l1 surface"], 3)
+            results["rec_hole_px_pct"] = m2["hole_px_pct"]
 
     if out_path:
         with open(out_path, "w") as f:

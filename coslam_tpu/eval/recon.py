@@ -177,6 +177,8 @@ def calc_2d_metric(rec_meshfile: str, gt_meshfile: str,
     poses = sample_eval_poses(mesh_gt, pc_unseen, n_imgs, H, W, fx, fy,
                               cx, cy, seed=seed)
     errors = []
+    errors_surface = []   # pixels where BOTH meshes have depth
+    hole_fracs = []       # gt-valid pixels the rec mesh misses entirely
     for c2w in poses:
         # viewmatrix already yields +z-forward cameras; w2c directly.
         w2c = np.linalg.inv(c2w).astype(np.float32)
@@ -189,8 +191,23 @@ def calc_2d_metric(rec_meshfile: str, gt_meshfile: str,
             if mask.sum() == 0:
                 continue
             errors.append(float(np.abs(gt_d[mask] - rec_d[mask]).mean()))
+            both = mask & (rec_d > 0)
+            if both.sum():
+                errors_surface.append(
+                    float(np.abs(gt_d[both] - rec_d[both]).mean()))
+            hole_fracs.append(float((mask & (rec_d <= 0)).sum()
+                                    / mask.sum()))
         else:
             errors.append(float(np.abs(gt_d - rec_d).mean()))
 
-    return {"depth l1": float(np.mean(errors)) * 100 if errors else np.nan,
-            "n_views": len(errors)}
+    # 'depth l1' is the protocol metric (reference
+    # evaluation/eval_recon.py:174-340: reconstruction holes pay the
+    # full |gt - 0| penalty). The decomposition separates SURFACE error
+    # (both meshes hit) from COVERAGE error (rec-mesh holes), so an
+    # inflated protocol number can be attributed — VERDICT r2 weak #5.
+    out = {"depth l1": float(np.mean(errors)) * 100 if errors else np.nan,
+           "n_views": len(errors)}
+    if errors_surface:
+        out["depth l1 surface"] = float(np.mean(errors_surface)) * 100
+        out["hole_px_pct"] = round(100 * float(np.mean(hole_fracs)), 2)
+    return out

@@ -1,0 +1,110 @@
+"""Multi-scene quality suite: the ≥4-scene averaged table VERDICT r2
+asked for (mirroring the reference's 8-scene Replica average,
+evaluation/README.md).
+
+Scenes x protocols:
+  room      AnalyticScene,      Replica recipe (the headline protocol)
+  plain     texture-poor room,  Replica recipe (photometric-degenerate)
+  thin      cm-scale plates,    SyntheticRGBD recipe (the reference's
+                                worst RGBD case is "thin geometry")
+  apartment two-room walkthrough, ScanNet recipe
+
+Writes results/BENCH_QUALITY_MULTI.json + .md (per-scene + mean rows).
+Run from repo root on TPU:
+  python tools/bench/run_quality_suite.py [--frames 300] [--workdir D]
+"""
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "..")))
+
+import argparse
+import json
+import os
+
+RUNS = [
+    ("room", "replica", []),
+    ("plain", "replica", []),
+    ("thin", "rgbd", []),
+    ("apartment", "scannet", []),
+]
+
+METRICS = ["ate_rmse_cm", "acc_cm", "comp_cm", "comp_ratio_pct",
+           "depth_l1_cm"]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=300)
+    p.add_argument("--hw", default="120x160")
+    p.add_argument("--workdir", default="/tmp/coslam_quality_suite")
+    p.add_argument("--scenes", default=None,
+                   help="comma list subset, e.g. thin,plain")
+    args = p.parse_args()
+
+    from coslam_tpu.tools.quality_bench import main as qb_main
+
+    here = os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                        "..", ".."))
+    results = {}
+    sel = set(args.scenes.split(",")) if args.scenes else None
+    for scene, protocol, extra in RUNS:
+        if sel and scene not in sel:
+            continue
+        out = os.path.join(args.workdir, f"result_{scene}.json")
+        print(f"=== scene {scene} ({protocol}) ===", flush=True)
+        res = qb_main(["--frames", str(args.frames), "--hw", args.hw,
+                       "--workdir", args.workdir, "--scene", scene,
+                       "--protocol", protocol, "--out", out] + extra)
+        results[scene] = res
+
+    # Merge with any prior per-scene results in the workdir (so the
+    # suite can run scene-by-scene across sessions).
+    for scene, _, _ in RUNS:
+        f = os.path.join(args.workdir, f"result_{scene}.json")
+        if scene not in results and os.path.exists(f):
+            results[scene] = json.load(open(f))
+
+    if not results:
+        return
+    mean = {m: sum(r[m] for r in results.values()) / len(results)
+            for m in METRICS if all(m in r for r in results.values())}
+    table = {"scenes": results, "mean": mean,
+             "n_frames": args.frames, "hw": args.hw}
+    os.makedirs(os.path.join(here, "results"), exist_ok=True)
+    with open(os.path.join(here, "results/BENCH_QUALITY_MULTI.json"),
+              "w") as f:
+        json.dump(table, f, indent=2)
+
+    lines = [
+        "# Multi-scene quality table",
+        "",
+        f"{len(results)} analytic scenes x their matching benchmark-family "
+        f"recipes, {args.frames} frames at {args.hw}, full Co-SLAM "
+        "culling protocol. Reference anchors (its own real-data "
+        "averages): Replica 2.10/2.08 cm 93.44% 1.51 cm; SyntheticRGBD "
+        "2.95/2.96 cm 86.88% 3.02 cm (BASELINE.md).",
+        "",
+        "| scene | protocol | ATE (cm) | Acc (cm) | Comp (cm) | "
+        "Ratio (%) | Depth-L1 (cm) |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    proto = {s: pr for s, pr, _ in RUNS}
+    for s, r in results.items():
+        lines.append(
+            f"| {s} | {proto.get(s, '?')} | {r['ate_rmse_cm']:.2f} | "
+            f"{r['acc_cm']:.2f} | {r['comp_cm']:.2f} | "
+            f"{r['comp_ratio_pct']:.2f} | {r['depth_l1_cm']:.2f} |")
+    if mean:
+        lines.append(
+            f"| **mean** | — | {mean['ate_rmse_cm']:.2f} | "
+            f"{mean['acc_cm']:.2f} | {mean['comp_cm']:.2f} | "
+            f"{mean['comp_ratio_pct']:.2f} | {mean['depth_l1_cm']:.2f} |")
+    lines.append("")
+    with open(os.path.join(here, "results/BENCH_QUALITY_MULTI.md"),
+              "w") as f:
+        f.write("\n".join(lines))
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
