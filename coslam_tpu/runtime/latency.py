@@ -33,10 +33,14 @@ def attribute_tails(frame_walls: Sequence[float],
     slow_by: Dict[str, int] = {}
     ms_by: Dict[str, List[float]] = {}
     untagged = 0
+    # Device dispatches are async: an event recorded in frame k (its
+    # host-side dispatch span) surfaces as wall time at frame k+1's
+    # sync point. Look one median frame back when matching.
+    lookback = p50
     for k in np.nonzero(dts > thresh)[0]:
         t0, t1 = walls[k], walls[k + 1]
         tags = sorted({tag for (e0, e1, tag) in ev
-                       if e0 < t1 and e1 > t0})
+                       if e0 < t1 and e1 > t0 - lookback})
         if not tags:
             untagged += 1
             ms_by.setdefault("untagged", []).append(dts[k] * 1e3)

@@ -1014,8 +1014,17 @@ class CoSLAM:
         vis_dir = os.path.join(out_dir, "vis")
         os.makedirs(vis_dir, exist_ok=True)
         path = os.path.join(vis_dir, f"rgbd_{i:05d}.png")
-        cv2.imwrite(path, cv2.cvtColor((comp * 255).astype(np.uint8),
-                                       cv2.COLOR_RGB2BGR))
+        bgr = cv2.cvtColor((comp * 255).astype(np.uint8),
+                           cv2.COLOR_RGB2BGR)
+        cv2.imwrite(path, bgr)
+        # Live window when a display exists (the reference's cv2.imshow
+        # loop, coslam.py:657-668); headless runs keep the PNG trail.
+        if os.environ.get("DISPLAY"):
+            try:
+                cv2.imshow("RGB-D", bgr)
+                cv2.waitKey(1)
+            except cv2.error:
+                pass
         return path
 
     def _pose_dict(self) -> Dict[int, np.ndarray]:

@@ -106,10 +106,13 @@ def main(argv=None):
     work = args.workdir or tempfile.mkdtemp(prefix="coslam_quality_")
     default_scene = "apartment" if args.protocol == "scannet" else "room"
     scene_name = args.scene or default_scene
-    # Scene-suffixed data dir so a persistent --workdir never mixes
-    # renders of different scenes (default scene keeps the legacy name).
-    datadir = os.path.join(work, "scene" if scene_name == default_scene
-                           else f"scene_{scene_name}")
+    # Scene/protocol-suffixed data dir so a persistent --workdir never
+    # mixes renders of different scenes OR on-disk formats (the replica
+    # default keeps the legacy name for cached workdirs).
+    if args.protocol == "replica" and scene_name == "room":
+        datadir = os.path.join(work, "scene")
+    else:
+        datadir = os.path.join(work, f"scene_{args.protocol}_{scene_name}")
     if args.protocol == "tum":
         cfg = make_tum_synthetic_config(datadir, os.path.join(work, "out"),
                                         H=H, W=W, n_frames=args.frames)
