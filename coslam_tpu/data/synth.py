@@ -769,6 +769,7 @@ def write_tum_format(datadir: str, scene: AnalyticScene, poses: np.ndarray,
 
     ``depth_noise`` applies :func:`add_kinect_noise` at write time with
     a per-frame seed, so rendering stays deterministic and resumable."""
+    _fresh_render_dir(datadir, poses, H, W)
     import cv2
     from scipy.spatial.transform import Rotation
 
@@ -826,6 +827,7 @@ def write_scannet_format(datadir: str, scene: AnalyticScene,
     files, crop_edge intrinsics adjustment). The ScanNet sensor
     (Structure, structured light like the Kinect) gets the same noise
     model as the TUM writer; rendering is resumable like the others."""
+    _fresh_render_dir(datadir, poses, H, W)
     import cv2
 
     os.makedirs(os.path.join(datadir, "color"), exist_ok=True)
@@ -872,6 +874,7 @@ def write_rgbd_format(datadir: str, scene: AnalyticScene,
     (without dropout holes: the filtered stream has none; the
     SyntheticRGBD baseline depth-L1 of 3.02 cm reflects this residual
     noise). Resumable like the other writers."""
+    _fresh_render_dir(datadir, poses, H, W)
     import cv2
 
     invalid = set(int(i) for i in invalid)
@@ -909,6 +912,31 @@ def write_rgbd_format(datadir: str, scene: AnalyticScene,
 # ---------------------------------------------------------------------------
 
 
+def _fresh_render_dir(datadir: str, poses: np.ndarray, H: int,
+                      W: int) -> None:
+    """Resumable-render cache guard. Cached frames are only valid for
+    the SAME trajectory and resolution — e.g. make_walkthrough_trajectory
+    is NOT prefix-stable in n, so reusing a 300-frame cache for an
+    800-frame run would silently pair stale images with new poses. A
+    stamp of (poses, H, W) invalidates the directory on mismatch."""
+    import hashlib
+    import shutil
+
+    h = hashlib.sha1()
+    h.update(np.asarray(poses, np.float64).tobytes())
+    h.update(np.asarray([H, W], np.int64).tobytes())
+    want = h.hexdigest()
+    stamp = os.path.join(datadir, ".render_stamp")
+    if os.path.isdir(datadir):
+        have = (open(stamp).read().strip() if os.path.exists(stamp)
+                else None)
+        if have != want:
+            shutil.rmtree(datadir)
+    os.makedirs(datadir, exist_ok=True)
+    with open(stamp, "w") as f:
+        f.write(want)
+
+
 def write_replica_format(datadir: str, scene: AnalyticScene,
                          poses: np.ndarray, H: int, W: int, fx: float,
                          fy: float, cx: float, cy: float,
@@ -916,6 +944,8 @@ def write_replica_format(datadir: str, scene: AnalyticScene,
     """Render ``poses`` and write the Replica on-disk layout
     (results/frame%06d.jpg + results/depth%06d.png + traj.txt)."""
     import cv2
+
+    _fresh_render_dir(datadir, poses, H, W)
 
     results = os.path.join(datadir, "results")
     os.makedirs(results, exist_ok=True)

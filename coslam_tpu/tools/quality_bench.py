@@ -73,6 +73,11 @@ def main(argv=None):
                    help="mesh culling strategy; 'coslam' (default) is the "
                         "reference protocol: frustum + occlusion + virtual "
                         "cameras (evaluation/README.md)")
+    p.add_argument("--eval_views", type=int, default=50,
+                   help="virtual views for the 2D depth-L1 (the "
+                        "reference uses 1000; 50 keeps runtime down but "
+                        "is noticeably view-sampling-noisy once the "
+                        "unseen set is small — use >=200 for tables)")
     p.add_argument("--scene", default=None,
                    choices=["room", "apartment", "thin", "plain"],
                    help="analytic scene override (default: by protocol — "
@@ -111,21 +116,26 @@ def main(argv=None):
     # default keeps the legacy name for cached workdirs).
     if args.protocol == "replica" and scene_name == "room":
         datadir = os.path.join(work, "scene")
+        outdir = os.path.join(work, "out")
+        gt_name = "gt.ply"
     else:
-        datadir = os.path.join(work, f"scene_{args.protocol}_{scene_name}")
+        suffix = f"{args.protocol}_{scene_name}"
+        datadir = os.path.join(work, f"scene_{suffix}")
+        outdir = os.path.join(work, f"out_{suffix}")
+        gt_name = f"gt_{suffix}.ply"
     if args.protocol == "tum":
-        cfg = make_tum_synthetic_config(datadir, os.path.join(work, "out"),
+        cfg = make_tum_synthetic_config(datadir, outdir,
                                         H=H, W=W, n_frames=args.frames)
     elif args.protocol == "scannet":
         cfg = make_scannet_synthetic_config(
-            datadir, os.path.join(work, "out"), H=H, W=W,
+            datadir, outdir, H=H, W=W,
             n_frames=args.frames)
     elif args.protocol == "rgbd":
         cfg = make_rgbd_synthetic_config(
-            datadir, os.path.join(work, "out"), H=H, W=W,
+            datadir, outdir, H=H, W=W,
             n_frames=args.frames)
     else:
-        cfg = make_synthetic_config(datadir, os.path.join(work, "out"),
+        cfg = make_synthetic_config(datadir, outdir,
                                     H=H, W=W, n_frames=args.frames)
         cfg["mapping"]["first_iters"] = 500
         cfg["mapping"]["sample"] = 2048
@@ -201,7 +211,7 @@ def main(argv=None):
     sdf = scene.sdf(np.stack([X, Y, Z], -1)).astype(np.float32)
     v, f = marching_cubes(sdf, 0.0, truncation=5.0)
     sp = np.array([ax[1] - ax[0] for ax in axes], np.float32)
-    gt_path = os.path.join(work, "gt.ply")
+    gt_path = os.path.join(work, gt_name)
     TriMesh(v * sp[None, :] + lo[None, :], f).export(gt_path)
 
     print("running SLAM...", flush=True)
@@ -213,7 +223,7 @@ def main(argv=None):
         from ..runtime.pipeline import PipelinedCoSLAM
         slam_cls = PipelinedCoSLAM
     res = run_benchmark(cfg, gt_mesh_path=gt_path,
-                        culling=args.culling, n_eval_views=50,
+                        culling=args.culling, n_eval_views=args.eval_views,
                         slam_cls=slam_cls)
     res["culling"] = args.culling
     res["active"] = bool(args.active)

@@ -123,3 +123,30 @@ def test_virtual_cameras_from_raw_rgbd(tmp_path):
     assert len(txts) == len(chosen) and len(chosen) >= 1
     c2w = np.loadtxt(os.path.join(out_dir, "0.txt"))
     assert c2w.shape == (4, 4) and np.isfinite(c2w).all()
+
+
+def test_render_cache_invalidates_on_trajectory_change(tmp_path):
+    """_fresh_render_dir: cached frames from a different trajectory or
+    resolution are wiped instead of silently reused (walkthrough
+    trajectories are not prefix-stable in n)."""
+    import os
+
+    from coslam_tpu.data.synth import write_replica_format
+
+    datadir = str(tmp_path / "scene")
+    H, W, fx = 16, 20, 12.0
+    scene = AnalyticScene()
+    p300 = make_trajectory(6)
+    write_replica_format(datadir, scene, p300, H, W, fx, fx,
+                         (W - 1) / 2, (H - 1) / 2)
+    frame0 = os.path.join(datadir, "results", "frame000000.jpg")
+    t0 = os.path.getmtime(frame0)
+    # Same trajectory: cache reused (no re-render).
+    write_replica_format(datadir, scene, p300, H, W, fx, fx,
+                         (W - 1) / 2, (H - 1) / 2)
+    assert os.path.getmtime(frame0) == t0
+    # Different trajectory: cache wiped and re-rendered.
+    p_other = make_trajectory(6, orbit_fraction=0.5)
+    write_replica_format(datadir, scene, p_other, H, W, fx, fx,
+                         (W - 1) / 2, (H - 1) / 2)
+    assert os.path.getmtime(frame0) > t0

@@ -21,11 +21,14 @@ import argparse
 import json
 import os
 
+# (scene, protocol, extra args, frames override). The apartment
+# walkthrough needs its full 800-frame protocol — at 300 frames the
+# trajectory is mid-doorway and the map of room B barely exists.
 RUNS = [
-    ("room", "replica", []),
-    ("plain", "replica", []),
-    ("thin", "rgbd", []),
-    ("apartment", "scannet", []),
+    ("room", "replica", [], None),
+    ("plain", "replica", [], None),
+    ("thin", "rgbd", [], None),
+    ("apartment", "scannet", [], 800),
 ]
 
 METRICS = ["ate_rmse_cm", "acc_cm", "comp_cm", "comp_ratio_pct",
@@ -47,19 +50,21 @@ def main():
                                         "..", ".."))
     results = {}
     sel = set(args.scenes.split(",")) if args.scenes else None
-    for scene, protocol, extra in RUNS:
+    for scene, protocol, extra, frames in RUNS:
         if sel and scene not in sel:
             continue
         out = os.path.join(args.workdir, f"result_{scene}.json")
         print(f"=== scene {scene} ({protocol}) ===", flush=True)
-        res = qb_main(["--frames", str(args.frames), "--hw", args.hw,
+        res = qb_main(["--frames", str(frames or args.frames),
+                       "--hw", args.hw,
                        "--workdir", args.workdir, "--scene", scene,
-                       "--protocol", protocol, "--out", out] + extra)
+                       "--protocol", protocol, "--out", out,
+                       "--eval_views", "200"] + extra)
         results[scene] = res
 
     # Merge with any prior per-scene results in the workdir (so the
     # suite can run scene-by-scene across sessions).
-    for scene, _, _ in RUNS:
+    for scene, _, _, _ in RUNS:
         f = os.path.join(args.workdir, f"result_{scene}.json")
         if scene not in results and os.path.exists(f):
             results[scene] = json.load(open(f))
@@ -84,19 +89,20 @@ def main():
         "averages): Replica 2.10/2.08 cm 93.44% 1.51 cm; SyntheticRGBD "
         "2.95/2.96 cm 86.88% 3.02 cm (BASELINE.md).",
         "",
-        "| scene | protocol | ATE (cm) | Acc (cm) | Comp (cm) | "
+        "| scene | protocol | frames | ATE (cm) | Acc (cm) | Comp (cm) | "
         "Ratio (%) | Depth-L1 (cm) |",
-        "|---|---|---|---|---|---|---|",
+        "|---|---|---|---|---|---|---|---|",
     ]
-    proto = {s: pr for s, pr, _ in RUNS}
+    proto = {s: pr for s, pr, _, _ in RUNS}
     for s, r in results.items():
         lines.append(
-            f"| {s} | {proto.get(s, '?')} | {r['ate_rmse_cm']:.2f} | "
+            f"| {s} | {proto.get(s, '?')} | {r.get('n_frames', '?')} | "
+            f"{r['ate_rmse_cm']:.2f} | "
             f"{r['acc_cm']:.2f} | {r['comp_cm']:.2f} | "
             f"{r['comp_ratio_pct']:.2f} | {r['depth_l1_cm']:.2f} |")
     if mean:
         lines.append(
-            f"| **mean** | — | {mean['ate_rmse_cm']:.2f} | "
+            f"| **mean** | — | — | {mean['ate_rmse_cm']:.2f} | "
             f"{mean['acc_cm']:.2f} | {mean['comp_cm']:.2f} | "
             f"{mean['comp_ratio_pct']:.2f} | {mean['depth_l1_cm']:.2f} |")
     lines.append("")
