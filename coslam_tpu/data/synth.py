@@ -1069,6 +1069,14 @@ def make_scannet_synthetic_config(datadir: str, output: str, H: int = 480,
     if tuned:
         cfg["grid"].update(enc="TensoVM", triplane_levels=3)
         cfg["training"].update(n_samples_d=32)
+        # Doubled tracking iterations (the reference's own ScanNet
+        # remedy — its dagger rows) as part of the TPU operating point:
+        # tracking is ~19 ms/frame here (4x the reference's budget), so
+        # spending the headroom on robustness is free. Measured: the
+        # 800-frame walkthrough's steep look-down corner sweep (frames
+        # ~160-220) loses tracking at iter=10 (ATE 114 cm) and tracks
+        # through at iter=20 (ATE 3.4 cm).
+        cfg["tracking"].update(iter=20)
     else:
         cfg["training"].update(n_samples_d=96)
     return cfg
