@@ -28,7 +28,7 @@ RUNS = [
     ("room", "replica", [], None),
     ("plain", "replica", [], None),
     ("thin", "rgbd", [], None),
-    ("apartment", "scannet", [], 800),
+    ("apartment", "scannet", ["--hw", "480x640"], 800),
 ]
 
 METRICS = ["ate_rmse_cm", "acc_cm", "comp_cm", "comp_ratio_pct",
@@ -55,8 +55,9 @@ def main():
             continue
         out = os.path.join(args.workdir, f"result_{scene}.json")
         print(f"=== scene {scene} ({protocol}) ===", flush=True)
-        res = qb_main(["--frames", str(frames or args.frames),
-                       "--hw", args.hw,
+        res = qb_main(["--frames", str(frames or args.frames)]
+                      + (["--hw", args.hw] if "--hw" not in extra else [])
+                      + [
                        "--workdir", args.workdir, "--scene", scene,
                        "--protocol", protocol, "--out", out,
                        "--eval_views", "200"] + extra)
@@ -84,25 +85,26 @@ def main():
         "# Multi-scene quality table",
         "",
         f"{len(results)} analytic scenes x their matching benchmark-family "
-        f"recipes, {args.frames} frames at {args.hw}, full Co-SLAM "
-        "culling protocol. Reference anchors (its own real-data "
+        "recipes (per-row frames/resolution), full Co-SLAM culling "
+        "protocol, 200 eval views. Reference anchors (its own real-data "
         "averages): Replica 2.10/2.08 cm 93.44% 1.51 cm; SyntheticRGBD "
-        "2.95/2.96 cm 86.88% 3.02 cm (BASELINE.md).",
+        "2.95/2.96 cm 86.88% 3.02 cm; its worst RGBD case (thin "
+        "geometry) 3.38/2.74 cm 86.74% 4.66 cm (BASELINE.md).",
         "",
-        "| scene | protocol | frames | ATE (cm) | Acc (cm) | Comp (cm) | "
-        "Ratio (%) | Depth-L1 (cm) |",
-        "|---|---|---|---|---|---|---|---|",
+        "| scene | protocol | frames | res | ATE (cm) | Acc (cm) | "
+        "Comp (cm) | Ratio (%) | Depth-L1 (cm) |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     proto = {s: pr for s, pr, _, _ in RUNS}
     for s, r in results.items():
         lines.append(
             f"| {s} | {proto.get(s, '?')} | {r.get('n_frames', '?')} | "
-            f"{r['ate_rmse_cm']:.2f} | "
+            f"{r.get('resolution', '?')} | {r['ate_rmse_cm']:.2f} | "
             f"{r['acc_cm']:.2f} | {r['comp_cm']:.2f} | "
             f"{r['comp_ratio_pct']:.2f} | {r['depth_l1_cm']:.2f} |")
     if mean:
         lines.append(
-            f"| **mean** | — | — | {mean['ate_rmse_cm']:.2f} | "
+            f"| **mean** | — | — | — | {mean['ate_rmse_cm']:.2f} | "
             f"{mean['acc_cm']:.2f} | {mean['comp_cm']:.2f} | "
             f"{mean['comp_ratio_pct']:.2f} | {mean['depth_l1_cm']:.2f} |")
     lines.append("")
