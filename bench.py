@@ -468,32 +468,29 @@ def _measure_roofline(time_fn, model, cfg, params, key, progress):
     g3 = (tr["smooth_pts"] - 1) ** 3
     sm_issues = g3 * issues_per_pt * 2   # gather + RMW per point
 
-    def util(count, ms_, ceiling_per_s):
-        return round(100 * count / (ms_ / 1e3) / ceiling_per_s, 1)
+    # Per-phase serial-issue floor under the measured ceilings;
+    # pct_of_floor = floor / measured (100% = running AT the ceiling).
+    ga_s = ceil["gather_mrows_per_s"] * 1e6
+    rmw_s = ceil["pair_rmw_mups"] * 1e6
+    g3i = g3 * issues_per_pt
+    sm_floor = (g3i / ga_s + g3i / rmw_s) * 1e3
+
+    def phase(ms_, floor_ms, **counts):
+        return {"ms_per_iter": round(ms_, 2),
+                "issue_floor_ms": round(floor_ms, 2),
+                "pct_of_floor": round(100 * floor_ms / ms_, 1), **counts}
 
     phases = {
-        "encode_fwd": {
-            "ms_per_iter": round(fwd_ms, 2), "gather_rows": rows,
-            "pct_of_gather_ceiling": util(
-                rows, fwd_ms, ceil["gather_mrows_per_s"] * 1e6)},
-        "encode_dtable": {
-            "ms_per_iter": round(dt_ms, 2), "rmw_issues": rows,
-            "pct_of_rmw_ceiling": util(
-                rows, dt_ms, ceil["pair_rmw_mups"] * 1e6)},
-        "smoothness_grad": {
-            "ms_per_iter": round(sm_ms, 2),
-            "gather_plus_rmw_issues": sm_issues,
-            "pct_of_issue_ceiling": util(
-                sm_issues, sm_ms,
-                (ceil["gather_mrows_per_s"] + ceil["pair_rmw_mups"])
-                / 2 * 1e6)},
+        "encode_fwd": phase(fwd_ms, rows / ga_s * 1e3, gather_rows=rows),
+        "encode_dtable": phase(dt_ms, rows / rmw_s * 1e3,
+                               rmw_issues=rows),
+        "smoothness_grad": phase(sm_ms, sm_floor,
+                                 gather_plus_rmw_issues=sm_issues),
     }
     # Serial-issue floor for one BA iteration under the measured
     # ceilings (decoder/render/optimizer are MXU/HBM-bound and sum to
     # <1 ms at this scale — dominated terms).
-    floor_ms = (rows / (ceil["gather_mrows_per_s"] * 1e6)
-                + rows / (ceil["pair_rmw_mups"] * 1e6)
-                + sm_issues / (ceil["gather_mrows_per_s"] * 1e6)) * 1e3
+    floor_ms = (rows / ga_s + rows / rmw_s) * 1e3 + sm_floor
     return {"ceilings": ceil, "parity_ba_phases": phases,
             "parity_ba_iter_issue_floor_ms": round(floor_ms, 2),
             "note": "ceilings measured on random-access streams; "
