@@ -34,9 +34,10 @@ def attribute_tails(frame_walls: Sequence[float],
     ms_by: Dict[str, List[float]] = {}
     untagged = 0
     # Device dispatches are async: an event recorded in frame k (its
-    # host-side dispatch span) surfaces as wall time at frame k+1's
-    # sync point. Look one median frame back when matching.
-    lookback = p50
+    # host-side dispatch span) surfaces as wall time wherever the queue
+    # next forces a sync — a ~60 ms BA program can land 2-3 median
+    # frames later. Look three median frames back when matching.
+    lookback = 3 * p50
     for k in np.nonzero(dts > thresh)[0]:
         t0, t1 = walls[k], walls[k + 1]
         tags = sorted({tag for (e0, e1, tag) in ev
