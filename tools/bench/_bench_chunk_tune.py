@@ -44,7 +44,7 @@ def timeit(fn, n=6):
     return (time.perf_counter() - t0) / n * 1e3
 
 
-def scatter_with_chunk(chunk, unroll, idx, vals, n_rows):
+def scatter_with_chunk(chunk, unroll, n_rows, idx, vals):
     m = idx.shape[0]
     f = len(vals) // 2
     m_pad = -(-m // chunk) * chunk
@@ -102,8 +102,8 @@ def main():
             for unroll in (8, 16):
                 try:
                     fn = jax.jit(partial(scatter_with_chunk, chunk,
-                                         unroll))
-                    ms = timeit(lambda: jnp.sum(fn(idx, vals, ROWS)))
+                                         unroll, ROWS))
+                    ms = timeit(lambda: jnp.sum(fn(idx, vals)))
                     print(f"M={m/1e6:5.2f}M chunk={chunk:6d} "
                           f"unroll={unroll:2d}: {ms:7.2f} ms "
                           f"({m/ms/1e3:.0f}M upd/s)", flush=True)
