@@ -181,9 +181,17 @@ class BaseDataset:
         import cv2
 
         color = cv2.imread(color_path)
+        if color is None:
+            raise ValueError(
+                f"could not decode color frame {color_path!r} "
+                "(missing, truncated, or not an image)")
         if depth_path.endswith(".exr"):
             raise NotImplementedError("EXR depth not supported")
         depth = cv2.imread(depth_path, cv2.IMREAD_UNCHANGED)
+        if depth is None:
+            raise ValueError(
+                f"could not decode depth frame {depth_path!r} "
+                "(missing, truncated, or not an image)")
         if self.distortion is not None:
             K = as_intrinsics_matrix([self.config["cam"]["fx"],
                                       self.config["cam"]["fy"],
@@ -222,15 +230,47 @@ class BaseDataset:
     def _train_ids(self, n: int) -> List[int]:
         return list(range(0, n, max(self.trainskip, 1)))
 
+    def _check_frame_shape(self, shape_hw, path: str):
+        """The decoded (post-crop/resize) frame must match the camera
+        model; a silent mismatch would pair pixels with wrong ray
+        directions downstream."""
+        if tuple(shape_hw) != (self.H, self.W):
+            raise ValueError(
+                f"frame {path!r} decodes to {tuple(shape_hw)} but the camera "
+                f"model expects ({self.H}, {self.W}) — cam.H/W/crop_edge/"
+                f"downsample in the config do not match the data on disk")
+
     def _make_batch(self, frame_id: int, c2w: np.ndarray, color_path: str,
                     depth_path: str, crop_edge: Optional[int] = None) -> Dict:
         fast = self._try_raw_batch(frame_id, c2w, color_path, depth_path,
                                    crop_edge)
         if fast is not None:
+            self._check_frame_shape(fast["depth_raw"].shape, depth_path)
             return fast
         rgb, depth = self._load_image_pair(color_path, depth_path, crop_edge)
+        self._check_frame_shape(depth.shape, depth_path)
         return {"frame_id": frame_id, "c2w": np.asarray(c2w, np.float32),
                 "rgb": rgb, "depth": depth, "direction": self._directions()}
+
+    def _validate_frames(self, basedir: str, min_poses: Optional[int] = None):
+        """Fail fast with actionable errors on broken scene directories:
+        zero frames, missing depth partners, or too few poses (the
+        reference loaders crash deep inside numpy/cv2 on all three)."""
+        n_img = len(self.img_files)
+        if n_img == 0:
+            raise ValueError(
+                f"no frames found in {basedir!r} for dataset type "
+                f"{self.config.get('dataset')!r} — wrong datadir or layout?")
+        n_depth = len(self.depth_paths)
+        if n_depth < n_img:
+            raise ValueError(
+                f"{basedir!r}: found {n_img} color frames but only "
+                f"{n_depth} depth frames — incomplete capture?")
+        n_poses = len(self.poses) if min_poses is None else min_poses
+        if n_poses < n_img:
+            raise ValueError(
+                f"{basedir!r}: found {n_img} frames but only {n_poses} "
+                f"poses — trajectory file is truncated")
 
     # -- protocol -------------------------------------------------------------
 
@@ -358,6 +398,7 @@ class ReplicaDataset(BaseDataset):
         with open(os.path.join(basedir, "traj.txt")) as f:
             lines = f.readlines()
         self.poses = []
+        self._validate_frames(basedir, min_poses=len(lines))
         for i in range(len(self.img_files)):
             c2w = np.array(list(map(float, lines[i].split()))).reshape(4, 4)
             c2w = _opengl(c2w)
@@ -390,6 +431,7 @@ class ScannetDataset(BaseDataset):
                             key=_numeric_key)
         self.poses = [_opengl(np.loadtxt(p).reshape(4, 4))
                       for p in pose_paths]
+        self._validate_frames(basedir)
         self.frame_ids = self._train_ids(len(self.img_files))
         self.num_frames = len(self.frame_ids)
         self._apply_crop_edge()
@@ -437,6 +479,7 @@ class AzureDataset(BaseDataset):
             # No trajectory: fixed placeholder pose (reference :455-484).
             self.poses = [np.eye(4, dtype=np.float32) + 1e-5
                           for _ in range(len(self.img_files))]
+        self._validate_frames(basedir)
         self._apply_crop_edge()
 
     def __getitem__(self, index: int) -> Dict:
@@ -467,9 +510,14 @@ class RGBDataset(BaseDataset):
                             key=alphanum_key_sort) if f.endswith("png")]
         self.poses, valid = self._load_poses(
             os.path.join(basedir, "poses.txt"))
+        self._validate_frames(basedir)
         self.frame_ids = [i for i in self._train_ids(len(self.img_files))
                           if valid[i]]
         self.num_frames = len(self.frame_ids)
+        if self.num_frames == 0:
+            raise ValueError(
+                f"{basedir!r}: every pose in poses.txt is NaN/inf — "
+                "no usable frames")
 
     @staticmethod
     def _load_poses(path: str):
@@ -523,6 +571,7 @@ class KITTIDataset(BaseDataset):
                 key=_numeric_key)
             self.poses = [_opengl(np.loadtxt(p).reshape(4, 4))
                           for p in pose_paths]
+        self._validate_frames(basedir)
         self.frame_ids = self._train_ids(len(self.img_files))
         self.num_frames = len(self.frame_ids)
         self._apply_crop_edge()
@@ -542,6 +591,11 @@ class TUMDataset(BaseDataset):
         self.basedir = basedir
         self.color_paths, self.depth_paths, self.poses = self._loadtum(
             basedir, frame_rate)
+        if not self.color_paths:
+            raise ValueError(
+                f"{basedir!r}: timestamp association produced no frames — "
+                "rgb.txt / depth.txt / groundtruth.txt timestamps never "
+                "match within 0.08 s (wrong files or clock offset?)")
         self.frame_ids = self._train_ids(len(self.color_paths))
         self.num_frames = len(self.frame_ids)
 
@@ -585,6 +639,8 @@ class TUMDataset(BaseDataset):
         t_pose = pose_data[:, 0].astype(np.float64)
         assoc = self._associate(t_img, t_depth, t_pose)
 
+        if not assoc:
+            return [], [], []
         # Temporal subsampling to ~frame_rate Hz (reference :696-701).
         indices = [0]
         for i in range(1, len(assoc)):
@@ -650,6 +706,7 @@ class RealsenseDataset(BaseDataset):
         else:
             self.poses = [np.asarray(align, np.float32)
                           for _ in range(len(self.img_files))]
+        self._validate_frames(basedir)
         self._apply_crop_edge()
 
     def __getitem__(self, index: int) -> Dict:
@@ -679,6 +736,7 @@ class iPhoneDataset(BaseDataset):
                             key=alphanum_key_sort) if f.endswith("png")]
         self.poses = self._load_odometry(os.path.join(basedir,
                                                       "odometry.csv"))
+        self._validate_frames(basedir)
         self.frame_ids = self._train_ids(len(self.img_files))
         self.num_frames = len(self.frame_ids)
 

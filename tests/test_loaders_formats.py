@@ -269,3 +269,158 @@ def test_iphone_mp4_extraction(tmp_path):
     # more video frame than odometry rows).
     assert len(ds) == n - 1
     assert ds[0]["rgb"].shape == (H, W, 3)
+
+
+# ---------------------------------------------------------------------------
+# Adversarial fixtures: broken captures must fail with actionable errors
+# (the reference loaders crash deep inside numpy/cv2 on all of these —
+# reference datasets/dataset.py:582-599 is the only malformed-input guard).
+# ---------------------------------------------------------------------------
+
+
+def _write_replica(root, H, W, n, n_poses=None, rng=None):
+    rng = rng or np.random.default_rng(7)
+    (root / "results").mkdir(parents=True)
+    for i in range(n):
+        img = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(root / "results" / f"frame{i:06d}.jpg"), img)
+        d = (rng.uniform(0.5, 3.0, (H, W)) * 1000).astype(np.uint16)
+        cv2.imwrite(str(root / "results" / f"depth{i:06d}.png"), d)
+    lines = []
+    for i in range(n if n_poses is None else n_poses):
+        c2w = np.eye(4)
+        c2w[0, 3] = 0.1 * i
+        lines.append(" ".join(str(v) for v in c2w.reshape(-1)))
+    (root / "traj.txt").write_text("\n".join(lines) + "\n")
+
+
+def test_truncated_png_clear_error(tmp_path):
+    from coslam_tpu.data.datasets import ReplicaDataset
+
+    H, W = 24, 32
+    root = tmp_path / "replica"
+    _write_replica(root, H, W, 3)
+    bad = root / "results" / "depth000001.png"
+    bad.write_bytes(bad.read_bytes()[:40])  # truncate mid-header
+    ds = ReplicaDataset(_base_cfg(H, W, "replica"), str(root))
+    assert ds[0]["rgb"].shape == (H, W, 3)  # intact frames still load
+    with pytest.raises(ValueError, match="depth000001.png"):
+        ds[1]["depth"]
+
+
+def test_zero_frame_directory(tmp_path):
+    from coslam_tpu.data.datasets import ReplicaDataset
+
+    root = tmp_path / "replica"
+    (root / "results").mkdir(parents=True)
+    (root / "traj.txt").write_text("")
+    with pytest.raises(ValueError, match="no frames found"):
+        ReplicaDataset(_base_cfg(24, 32, "replica"), str(root))
+
+
+def test_truncated_trajectory_clear_error(tmp_path):
+    from coslam_tpu.data.datasets import ReplicaDataset
+
+    root = tmp_path / "replica"
+    _write_replica(root, 24, 32, 4, n_poses=2)
+    with pytest.raises(ValueError, match="trajectory file is truncated"):
+        ReplicaDataset(_base_cfg(24, 32, "replica"), str(root))
+
+
+def test_missing_depth_partner_clear_error(tmp_path):
+    from coslam_tpu.data.datasets import ReplicaDataset
+
+    root = tmp_path / "replica"
+    _write_replica(root, 24, 32, 3)
+    os.remove(str(root / "results" / "depth000002.png"))
+    with pytest.raises(ValueError, match="only 2 depth frames"):
+        ReplicaDataset(_base_cfg(24, 32, "replica"), str(root))
+
+
+def test_mismatched_intrinsics_clear_error(tmp_path):
+    """Config camera model disagreeing with on-disk resolution must be a
+    named error, not a silent pixel/ray-direction mismatch."""
+    from coslam_tpu.data.datasets import ReplicaDataset
+
+    root = tmp_path / "replica"
+    _write_replica(root, 24, 32, 2)
+    ds = ReplicaDataset(_base_cfg(48, 64, "replica"), str(root))
+    with pytest.raises(ValueError, match="camera model expects"):
+        ds[0]
+
+
+def test_tum_association_drops_unmatched(tmp_path):
+    """An rgb frame whose depth partner is missing (timestamp gap >
+    0.08 s) is dropped, matching the reference association semantics
+    (reference datasets/dataset.py:661-668); a capture with no matches
+    at all raises instead of producing an empty dataset."""
+    H, W, n = 24, 32, 4
+    rng = np.random.default_rng(8)
+    root = tmp_path / "tum"
+    (root / "rgb").mkdir(parents=True)
+    (root / "depth").mkdir()
+    rgb_lines, depth_lines, gt_lines = [], [], []
+    for i in range(n):
+        t = 100.0 + i * 0.2
+        img = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(root / "rgb" / f"{t:.4f}.png"), img)
+        rgb_lines.append(f"{t:.4f} rgb/{t:.4f}.png")
+        if i != 2:  # frame 2's depth partner is missing
+            d = (rng.uniform(0.5, 3.0, (H, W)) * 5000).astype(np.uint16)
+            cv2.imwrite(str(root / "depth" / f"{t:.4f}.png"), d)
+            depth_lines.append(f"{t:.4f} depth/{t:.4f}.png")
+        gt_lines.append(f"{t:.4f} {0.1 * i} 0 0 0 0 0 1")
+    (root / "rgb.txt").write_text("\n".join(rgb_lines) + "\n")
+    (root / "depth.txt").write_text("\n".join(depth_lines) + "\n")
+    (root / "groundtruth.txt").write_text("\n".join(gt_lines) + "\n")
+
+    cfg = _base_cfg(H, W, "tum", {"png_depth_scale": 5000.0})
+    ds = TUMDataset(cfg, str(root))
+    assert len(ds) == n - 1
+    assert all(b["depth"].shape == (H, W) for b in (ds[0], ds[2]))
+
+    # Shift every depth timestamp out of association range -> no frames.
+    bad = [ln.split(" ", 1) for ln in depth_lines]
+    (root / "depth.txt").write_text("\n".join(
+        f"{float(t) + 50.0:.4f} {p}" for t, p in bad) + "\n")
+    with pytest.raises(ValueError, match="association produced no frames"):
+        TUMDataset(cfg, str(root))
+
+
+def test_tum_missing_association_file(tmp_path):
+    root = tmp_path / "tum"
+    root.mkdir()
+    (root / "rgb.txt").write_text("100.0 rgb/a.png\n")
+    with pytest.raises(FileNotFoundError):
+        TUMDataset(_base_cfg(24, 32, "tum"), str(root))
+
+
+def test_rgbd_inf_pose_filtered(tmp_path):
+    """inf (not just nan) pose rows are dropped; an all-invalid poses.txt
+    raises instead of yielding an empty dataset."""
+    H, W, n = 24, 32, 3
+    rng = np.random.default_rng(9)
+    root = tmp_path / "rgbd"
+    (root / "images").mkdir(parents=True)
+    (root / "depth").mkdir()
+    lines = []
+    for i in range(n):
+        img = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(root / "images" / f"img{i}.png"), img)
+        d = (rng.uniform(0.5, 3.0, (H, W)) * 1000).astype(np.uint16)
+        cv2.imwrite(str(root / "depth" / f"depth{i}.png"), d)
+        c2w = np.eye(4)
+        if i == 1:
+            c2w[1, 3] = np.inf
+        for row in c2w:
+            lines.append(" ".join(str(v) for v in row))
+    (root / "poses.txt").write_text("\n".join(lines) + "\n")
+
+    cfg = _base_cfg(H, W, "synthetic")
+    ds = RGBDataset(cfg, str(root))
+    assert len(ds) == n - 1
+
+    (root / "poses.txt").write_text("\n".join(
+        " ".join(["nan"] * 4) for _ in range(4 * n)) + "\n")
+    with pytest.raises(ValueError, match="NaN/inf"):
+        RGBDataset(cfg, str(root))
