@@ -433,11 +433,14 @@ def _measure_roofline(time_fn, model, cfg, params, key, progress):
     gp = params["grid"]
     N_IT = 10
 
-    def scan_amortized(inner):
+    def scan_amortized(inner, x_=None, g_=None):
         # x/g ride as jit args — closure constants fold into the compile
         # payload and choke the tunneled remote-compile service. kk is
         # threaded into the body so per-iteration randomness defeats CSE
         # across scan iterations.
+        xa = x if x_ is None else x_
+        ga = g if g_ is None else g_
+
         @jax.jit
         def run(gp, x, g, k):
             def body(c, kk):
@@ -445,7 +448,7 @@ def _measure_roofline(time_fn, model, cfg, params, key, progress):
                 return c + inner(gp, xx, g, kk), None
             out, _ = jax.lax.scan(body, 0.0, jax.random.split(k, N_IT))
             return out
-        return time_fn(lambda: run(gp, x, g, key),
+        return time_fn(lambda: run(gp, xa, ga, key),
                        n_warmup=2, n_iter=5) / N_IT
 
     def tsum(t):
@@ -491,8 +494,37 @@ def _measure_roofline(time_fn, model, cfg, params, key, progress):
     # ceilings (decoder/render/optimizer are MXU/HBM-bound and sum to
     # <1 ms at this scale — dominated terms).
     floor_ms = (rows / ga_s + rows / rmw_s) * 1e3 + sm_floor
+
+    # ---- tracking-scale phase table (VERDICT r3 #2) ---------------------
+    # One tracking iteration = encode forward (gather-issue-bound) +
+    # backward dx chain (vector math on saved pair features — no serial
+    # issues, HBM/VPU-bound) + tiny MLPs/render/Adam. The dtable scatter
+    # is DCE'd (params are constants under the pose-only grad); verified
+    # in the r4 xplane trace (tools/bench/_bench_profile_track.py): no
+    # scatter kernels appear, the window gather runs at 542M rows/s —
+    # 122% of the random-access ceiling.
+    n_pts_t = cfg["tracking"]["sample"] * (tr["n_samples_d"]
+                                           + tr["n_range_d"])
+    xt = jax.random.uniform(key, (n_pts_t, 3))
+    gt_ = jax.random.normal(key, (n_pts_t, model.input_ch))
+    fwd_t = scan_amortized(lambda gp, xx, g, kk: jnp.sum(enc(gp, xx)),
+                           x_=xt, g_=gt_)
+    fwddx_t = scan_amortized(
+        lambda gp, xx, g, kk: jnp.sum(jax.grad(
+            lambda xq: jnp.sum(enc(gp, xq) * g))(xx)), x_=xt, g_=gt_)
+    rows_t = n_pts_t * issues_per_pt
+    track_floor = rows_t / ga_s * 1e3
+    track_phases = {
+        "encode_fwd": phase(fwd_t, track_floor, gather_rows=rows_t),
+        "encode_dx_bwd": {"ms_per_iter": round(fwddx_t - fwd_t, 2),
+                          "note": "vector math on saved pair features; "
+                                  "no serial issues (HBM/VPU-bound)"},
+    }
+
     return {"ceilings": ceil, "parity_ba_phases": phases,
             "parity_ba_iter_issue_floor_ms": round(floor_ms, 2),
+            "parity_track_phases": track_phases,
+            "parity_track_iter_issue_floor_ms": round(track_floor, 2),
             "note": "ceilings measured on random-access streams; "
                     ">100% utilization means the in-situ (ray-coherent) "
                     "stream beats the random-access rate — the phase is "

@@ -336,6 +336,69 @@ class AnalyticPlainScene(AnalyticScene):
         return xp.clip(out, 0.0, 1.0).astype(np.float32)
 
 
+class AnalyticRoom2(AnalyticScene):
+    """Second room variant (VERDICT r3 #9): same construction, different
+    furniture arrangement, sizes, and palette — breadth for the averaged
+    table the way the reference averages 8 distinct Replica rooms."""
+
+    sphere_c = np.array([-0.9, -1.25, 0.9], np.float32)
+    sphere_r = 0.75
+    box_c = np.array([1.2, -1.45, 0.7], np.float32)
+    box_half = np.array([0.55, 0.55, 0.35], np.float32)
+    box_round = 0.06
+    cyl_c = np.array([-0.6, -1.35, -1.2], np.float32)
+    cyl_r = 0.45
+    cyl_h = 0.65
+
+    def albedo(self, p: np.ndarray, xp=np) -> np.ndarray:
+        base = super().albedo(p, xp=xp)
+        # Rotate the palette so the two rooms are photometrically distinct.
+        return base[..., ::-1]
+
+
+class AnalyticCorridor(AnalyticScene):
+    """Textureless corridor (VERDICT r3 #9): a narrow hallway walked
+    end-to-end while looking forward — the classic degenerate case where
+    the view-filling end wall carries almost no texture and the forward
+    translation is weakly observable photometrically. Two door-jamb
+    pillars and a ceiling beam provide the only mid-field geometry.
+    Pair with make_corridor_trajectory."""
+
+    bound = np.array([[-2.2, 2.2], [-1.2, 1.2], [-0.95, 0.95]], np.float32)
+
+    _room_half = np.array([2.1, 1.1, 0.85], np.float32)
+    _pil1_c = np.array([-0.7, 0.0, 0.62], np.float32)
+    _pil2_c = np.array([0.8, 0.0, -0.62], np.float32)
+    _pil_half = np.array([0.12, 1.1, 0.22], np.float32)
+    _beam_c = np.array([0.1, 1.0, 0.0], np.float32)
+    _beam_half = np.array([0.10, 0.12, 0.85], np.float32)
+
+    def _parts(self, p: np.ndarray, xp=np):
+        p = xp.asarray(p, np.float32)
+
+        def sd_box(c, half):
+            q = xp.abs(p - c) - half
+            outside = xp.linalg.norm(xp.maximum(q, 0.0), axis=-1)
+            inside = xp.minimum(xp.max(q, axis=-1), 0.0)
+            return outside + inside
+
+        room = _box_interior(p, np.zeros(3, np.float32), self._room_half,
+                             xp=xp)
+        pil1 = sd_box(self._pil1_c, self._pil_half)
+        pil2 = sd_box(self._pil2_c, self._pil_half)
+        beam = sd_box(self._beam_c, self._beam_half)
+        return room, pil1, pil2, beam
+
+    def albedo(self, p: np.ndarray, xp=np) -> np.ndarray:
+        # Near-uniform matte paint everywhere (plain-scene contrast).
+        p = xp.asarray(p, np.float32)
+        px, py, pz = p[..., 0], p[..., 1], p[..., 2]
+        v = (0.58 + 0.03 * xp.sin(1.9 * px + 0.7) * xp.sin(1.5 * pz)
+             + 0.02 * xp.sin(1.2 * py + 0.2))
+        out = xp.stack([v * 0.96, v, v * 0.93], axis=-1)
+        return xp.clip(out, 0.0, 1.0).astype(np.float32)
+
+
 def render_frame(scene: AnalyticScene, c2w: np.ndarray, H: int, W: int,
                  fx: float, fy: float, cx: float, cy: float,
                  max_steps: int = 96, far: float = 12.0
@@ -512,6 +575,30 @@ def make_scan_trajectory(n: int, deg_per_frame: float = 1.5) -> np.ndarray:
         target = np.array([0.45 * np.cos(0.63 * th + 2.0),
                            -0.75 + 0.55 * np.sin(0.41 * th),
                            0.45 * np.sin(0.63 * th + 2.0)])
+        poses.append(_look_at(eye, target))
+    return np.stack(poses).astype(np.float32)
+
+
+def make_corridor_trajectory(n: int, seed: int = 0) -> np.ndarray:
+    """[n, 4, 4] corridor walk for AnalyticCorridor: the camera advances
+    along +x looking mostly forward (the degenerate axis), with gentle
+    seeded lateral sway and gaze wander so side walls provide parallax.
+    About 3 m of travel regardless of n (longer runs move slower, like
+    the scan trajectory's constant coverage)."""
+    rng = np.random.default_rng(seed)
+    phase = rng.uniform(0, 2 * np.pi, 3)
+    poses = []
+    for i in range(n):
+        u = i / max(n - 1, 1)
+        x = -1.5 + 3.0 * u
+        eye = np.array([
+            x,
+            0.1 + 0.08 * np.sin(2.1 * np.pi * u + phase[0]),
+            0.18 * np.sin(1.7 * np.pi * u + phase[1])])
+        target = np.array([
+            x + 1.2,
+            0.05 * np.sin(2.9 * np.pi * u + phase[2]),
+            0.35 * np.sin(2.3 * np.pi * u + phase[1] + 1.1)])
         poses.append(_look_at(eye, target))
     return np.stack(poses).astype(np.float32)
 
@@ -913,18 +1000,21 @@ def write_rgbd_format(datadir: str, scene: AnalyticScene,
 
 
 def _fresh_render_dir(datadir: str, poses: np.ndarray, H: int,
-                      W: int) -> None:
+                      W: int, extra=None) -> None:
     """Resumable-render cache guard. Cached frames are only valid for
     the SAME trajectory and resolution — e.g. make_walkthrough_trajectory
     is NOT prefix-stable in n, so reusing a 300-frame cache for an
     800-frame run would silently pair stale images with new poses. A
-    stamp of (poses, H, W) invalidates the directory on mismatch."""
+    stamp of (poses, H, W[, extra render params]) invalidates the
+    directory on mismatch."""
     import hashlib
     import shutil
 
     h = hashlib.sha1()
     h.update(np.asarray(poses, np.float64).tobytes())
     h.update(np.asarray([H, W], np.int64).tobytes())
+    if extra is not None:
+        h.update(repr(extra).encode())
     want = h.hexdigest()
     stamp = os.path.join(datadir, ".render_stamp")
     if os.path.isdir(datadir):
@@ -937,20 +1027,69 @@ def _fresh_render_dir(datadir: str, poses: np.ndarray, H: int,
         f.write(want)
 
 
+def dataset_content_hash(datadir: str, sample_every: int = 7) -> str:
+    """Content fingerprint of a rendered dataset directory: sha1 over
+    the sorted file list, every file's size, and the full bytes of every
+    ``sample_every``-th file. Stamped into quality-result JSONs so a
+    reported metric is tied to the exact pixels it was measured on
+    (VERDICT r3 #1a — a stale render cache silently invalidated an r2
+    artifact)."""
+    import hashlib
+
+    h = hashlib.sha1()
+    entries = []
+    for root, _, files in os.walk(datadir):
+        for f in files:
+            entries.append(os.path.join(root, f))
+    for i, path in enumerate(sorted(entries)):
+        rel = os.path.relpath(path, datadir)
+        h.update(rel.encode())
+        h.update(str(os.path.getsize(path)).encode())
+        if i % sample_every == 0:
+            with open(path, "rb") as fh:
+                h.update(fh.read())
+    return h.hexdigest()
+
+
+def exposure_drift_walk(n: int, drift: float, seed: int = 0) -> np.ndarray:
+    """Per-frame exposure parameters [n, 4] (3 gains + offset) following
+    a random walk: log-gains and offset integrate N(0, drift) /
+    N(0, drift/10) steps. Models auto-exposure/white-balance drift in
+    real captures (the reference's PerFrameAlignment was written for
+    exactly this and never finished, optimization/frame_align.py)."""
+    rng = np.random.default_rng(seed)
+    log_gain = np.cumsum(rng.normal(0.0, drift, (n, 3)), axis=0)
+    offset = np.cumsum(rng.normal(0.0, drift * 0.1, (n, 1)), axis=0)
+    return np.concatenate([np.exp(log_gain), offset],
+                          axis=1).astype(np.float32)
+
+
 def write_replica_format(datadir: str, scene: AnalyticScene,
                          poses: np.ndarray, H: int, W: int, fx: float,
                          fy: float, cx: float, cy: float,
-                         png_depth_scale: float = 6553.5) -> None:
+                         png_depth_scale: float = 6553.5,
+                         exposure_drift: float = 0.0,
+                         exposure_seed: int = 0) -> None:
     """Render ``poses`` and write the Replica on-disk layout
-    (results/frame%06d.jpg + results/depth%06d.png + traj.txt)."""
+    (results/frame%06d.jpg + results/depth%06d.png + traj.txt).
+
+    exposure_drift > 0 applies a per-frame gain/offset random walk to
+    the rendered RGB (depth untouched) — the adversarial protocol behind
+    the training.frame_align robustness feature."""
     import cv2
 
-    _fresh_render_dir(datadir, poses, H, W)
+    # extra=None when undrifted: keeps existing render caches' stamps
+    # valid (the default path hashes exactly what it always hashed).
+    _fresh_render_dir(datadir, poses, H, W,
+                      extra=((exposure_drift, exposure_seed)
+                             if exposure_drift > 0 else None))
 
     results = os.path.join(datadir, "results")
     os.makedirs(results, exist_ok=True)
     render = make_renderer(scene, H, W, fx, fy, cx, cy,
                             n_frames=len(poses))
+    expo = (exposure_drift_walk(len(poses), exposure_drift, exposure_seed)
+            if exposure_drift > 0 else None)
     lines = []
     for i, c2w in enumerate(poses):
         rgb_path = os.path.join(results, f"frame{i:06d}.jpg")
@@ -966,6 +1105,8 @@ def write_replica_format(datadir: str, scene: AnalyticScene,
                                   for v in file_pose.reshape(-1)))
             continue
         rgb, depth = render(c2w)
+        if expo is not None:
+            rgb = np.clip(rgb * expo[i, :3] + expo[i, 3], 0.0, 1.0)
         bgr = cv2.cvtColor((rgb * 255).astype(np.uint8), cv2.COLOR_RGB2BGR)
         cv2.imwrite(os.path.join(results, f"frame{i:06d}.jpg"), bgr,
                     [cv2.IMWRITE_JPEG_QUALITY, 97])

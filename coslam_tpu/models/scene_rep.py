@@ -309,9 +309,22 @@ class JointEncoding:
             z_samples = jax.lax.stop_gradient(z_samples)
             ret["z_std"] = jnp.std(z_samples, axis=-1)
 
-            z_vals = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
-            pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
-            raw = self.run_network(params, pts)
+            # The fine pass needs the network at [z_vals ∪ z_samples];
+            # the z_vals points were just evaluated — REUSE their raw
+            # outputs and query only the n_importance new points, then
+            # merge-sort raw alongside z. Exactly the reference's fine
+            # pass (model/scene_rep.py:265-277 re-evaluates the same
+            # points; same function at the same points, same gradients)
+            # at 2/7ths fewer encode gathers + table-gradient scatters
+            # under the TUM recipe (85 reused + 128 new vs 213 encoded).
+            pts_new = rays_o[..., None, :] \
+                + rays_d[..., None, :] * z_samples[..., :, None]
+            raw_new = self.run_network(params, pts_new)
+            z_cat = jnp.concatenate([z_vals, z_samples], axis=-1)
+            raw_cat = jnp.concatenate([raw, raw_new], axis=-2)
+            order = jnp.argsort(z_cat, axis=-1)
+            z_vals = jnp.take_along_axis(z_cat, order, axis=-1)
+            raw = jnp.take_along_axis(raw_cat, order[..., None], axis=-2)
             rgb_map, disp_map, acc_map, weights, depth_map, depth_var = R.raw2outputs(
                 raw, z_vals, tr["trunc"], self.config["data"]["sc_factor"],
                 tr["white_bkgd"])
@@ -323,7 +336,9 @@ class JointEncoding:
     def forward(self, params: Dict, key, rays_o: jnp.ndarray,
                 rays_d: jnp.ndarray, target_rgb: jnp.ndarray,
                 target_d: jnp.ndarray, ray_mask: Optional[jnp.ndarray] = None,
-                smooth_pts_norm: Optional[jnp.ndarray] = None) -> Dict:
+                smooth_pts_norm: Optional[jnp.ndarray] = None,
+                align: Optional[jnp.ndarray] = None,
+                rgb_kernel: Optional[float] = None) -> Dict:
         """Render + per-term losses (reference model/scene_rep.py:297-351).
 
         ray_mask: optional [N] validity mask for padded fixed-shape
@@ -331,6 +346,13 @@ class JointEncoding:
         smooth_pts_norm: optional [G, 3] normalized smoothness-grid
         points fused into the SDF-grid encode (see run_network); their
         embeddings come back as ret['smooth_emb'].
+        align: optional per-ray exposure parameters [N, 4] or [4]
+        (3 gains + offset, ops/frame_align.py): the rendered canonical
+        RGB is mapped to the frame's exposure before the photometric
+        loss (the reference defined this module but never wired it —
+        optimization/frame_align.py:5-19).
+        rgb_kernel: optional Huber delta for the photometric residual
+        (robust tracking; None = reference MSE).
         """
         tr = self.config["training"]
         rend = self.render_rays(params, key, rays_o, rays_d, target_d=target_d,
@@ -344,19 +366,28 @@ class JointEncoding:
         else:
             rm = jnp.ones_like(valid_depth)
 
+        def expose(rgb):
+            if align is None:
+                return rgb
+            return rgb * align[..., :3] + align[..., 3:4]
+
+        def rgb_term(pred, target, mask):
+            if rgb_kernel is None:
+                return L.compute_loss(pred, target, mask=mask)
+            return L.huber_loss(pred, target, float(rgb_kernel), mask=mask)
+
         # rgb_weight multiplies pred and target inside the MSE
         # (reference model/scene_rep.py:319-326): invalid-depth pixels get
         # down-weighted by 'rgb_missing'.
         rgb_w = jnp.where(valid_depth > 0, 1.0, tr["rgb_missing"])[:, None]
-        rgb_loss = L.compute_loss(rend["rgb"] * rgb_w, target_rgb * rgb_w,
-                                  mask=rm[:, None])
+        rgb_loss = rgb_term(expose(rend["rgb"]) * rgb_w, target_rgb * rgb_w,
+                            rm[:, None])
         psnr = L.mse2psnr(rgb_loss)
         depth_loss = L.compute_loss(rend["depth"], td, mask=valid_depth * rm)
 
         if "rgb0" in rend:
-            rgb_loss = rgb_loss + L.compute_loss(rend["rgb0"] * rgb_w,
-                                                 target_rgb * rgb_w,
-                                                 mask=rm[:, None])
+            rgb_loss = rgb_loss + rgb_term(expose(rend["rgb0"]) * rgb_w,
+                                           target_rgb * rgb_w, rm[:, None])
             depth_loss = depth_loss + L.compute_loss(rend["depth0"], td,
                                                      mask=valid_depth * rm)
 

@@ -238,9 +238,14 @@ def _gather_pairs(spec: PackedGridSpec, storage: jnp.ndarray,
     """Gather z-windows and select the (z, z+1) feature pair.
 
     storage [8F, R]; rows/offs [L, 4, N]. Returns p0, p1 [F, L, 4, N].
+
     The select stays in the storage dtype and is written as 8 unrolled
     masked accumulations — a reshape/astype of the full [8F, L, 4, N]
-    gather block would materialize ~180 MB of f32 through HBM.
+    gather block would materialize ~180 MB of f32 through HBM. (A
+    row-layout variant doing the select in the gather's native [M, 8F]
+    layout was measured SLOWER in situ — 69.3 vs 58.8 ms parity tracking
+    megastep; the narrow [M, F] outputs relayout worse than the window
+    block. See tools/bench/_bench_gather_layout.py.)
     """
     F = spec.n_features
     g = storage[:, rows]                      # [8F, L, 4, N] (bf16)

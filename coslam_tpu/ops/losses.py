@@ -37,6 +37,18 @@ def compute_loss(prediction: jnp.ndarray, target: jnp.ndarray,
     raise ValueError(f"Unsupported loss type {loss_type}")
 
 
+def huber_loss(prediction: jnp.ndarray, target: jnp.ndarray, delta: float,
+               mask=None) -> jnp.ndarray:
+    """Huber kernel scaled to MATCH l2 for small residuals (r^2 below
+    delta, delta*(2|r| - delta) above), so loss weights tuned for the l2
+    photometric term keep their meaning when the robust kernel is
+    enabled (tracking.robust_delta). No reference counterpart — the
+    reference tracker is plain MSE (model/scene_rep.py:319-326)."""
+    a = jnp.abs(prediction - target)
+    q = jnp.minimum(a, delta)
+    return masked_mean(q * (2.0 * a - q), mask)
+
+
 def get_masks(z_vals: jnp.ndarray, target_d: jnp.ndarray, truncation: float,
               ray_mask=None):
     """Truncation-region masks + normalized fs/sdf weights.

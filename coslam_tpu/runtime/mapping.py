@@ -164,13 +164,22 @@ def make_current_frame_step(model, config: Dict, map_tx, mesh=None):
 
 
 def make_ba_step(model, config: Dict, map_tx, max_kf: int, rays_per_kf: int,
-                 n_pixels: int, mesh=None, maxcur: int = None):
+                 n_pixels: int, mesh=None, maxcur: int = None,
+                 n_chunks: int = 1, between=None):
     """Build the jitted global-BA megastep.
 
     step(map_params, map_opt_state, kf_rays, kf_count,
          kf_poses [max_kf, 4, 4], cur_pose [4, 4], cur_rays [H*W, 7], key)
       -> (map_params, map_opt_state, new_kf_poses, new_cur_pose,
           last_loss)
+
+    n_chunks > 1 splits the iteration scan into that many device
+    dispatches (identical math and RNG stream — the optimizer carry
+    crosses chunk boundaries as device arrays). The pipelined runtime
+    uses this so concurrent tracking steps can interleave in the device
+    queue between BA chunks instead of stalling behind one multi-x-ms
+    program (the r3 tail attribution: p99 = 3.7x p50, caused by
+    `ba+keyframe`).
 
     kf_rays is either the PACKED reservoir [max_kf, R/16, 128]
     (runtime/keyframe.py layout — the fast path: the per-iteration ray
@@ -207,20 +216,33 @@ def make_ba_step(model, config: Dict, map_tx, max_kf: int, rays_per_kf: int,
     optim_cur = bool(mcfg["optim_cur"])
     weights = config["training"]
     smooth_weight = float(weights["smooth_weight"])
+    # Per-frame exposure alignment (training.frame_align): the BA jointly
+    # optimizes a [max_kf + 1, 4] gains+offset table alongside the poses
+    # (the reference defined the module but never wired it,
+    # optimization/frame_align.py:5-19).
+    use_align = bool(weights.get("frame_align", False))
+    lr_align = float(mcfg.get("lr_align", 1e-3))
 
     mat_to_tensor, mat_from_tensor = P.get_pose_representation(
         config["training"]["rot_rep"])
-    pose_tx = make_pose_optimizer(mcfg["lr_rot"], mcfg["lr_trans"])
+    pose_tx = make_pose_optimizer(mcfg["lr_rot"], mcfg["lr_trans"],
+                                  lr_align if use_align else None)
 
-    @jax.jit
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnames=("n_iters", "presplit", "finalize"))
     def step(map_params, map_opt_state, kf_rays, kf_count, kf_poses,
-             cur_pose, cur_rays, key):
+             cur_pose, cur_rays, key, kf_aligns=None, cur_align=None,
+             carry_in=None, i0=0, n_iters=iters, presplit=False,
+             finalize=True):
         model.remat = True  # trace-time: map grads need rematerialization
         n_cur_pix = cur_rays.shape[0]
         # Tangent-space parameters for all keyframes + current frame.
         all_poses0 = jnp.concatenate([kf_poses, cur_pose[None]], axis=0)
         pp = {"rot": mat_to_tensor(all_poses0[:, :3, :3]),
               "trans": all_poses0[:, :3, 3]}
+        if use_align:
+            pp["align"] = jnp.concatenate([kf_aligns, cur_align[None]], axis=0)
         pose_opt_state = pose_tx.init(pp)
         pose_enable = kf_count >= 2  # reference: no pose optim with <2 KFs
 
@@ -232,6 +254,12 @@ def make_ba_step(model, config: Dict, map_tx, max_kf: int, rays_per_kf: int,
             if not optim_cur:
                 mats = mats.at[max_kf].set(cur_pose)        # frozen current
             return mats
+
+        def build_aligns(pp):
+            # First keyframe's exposure is the gauge anchor (frozen), the
+            # same way its pose anchors the trajectory: a global
+            # gain/offset is unobservable against the map's free colors.
+            return pp["align"].at[0].set(kf_aligns[0])
 
         n_cur_quota = jnp.minimum(
             jnp.maximum(sample // jnp.maximum(kf_count, 1), min_pixels_cur),
@@ -252,6 +280,8 @@ def make_ba_step(model, config: Dict, map_tx, max_kf: int, rays_per_kf: int,
             t = pose_rows[:, :, 3]                        # [N,3]
             dirs = ray_data[:, :3]
             rays_d = jnp.einsum("nij,nj->ni", Rm, dirs)
+            # Per-ray exposure parameters ride the same one-hot matmul.
+            align_rows = (onehot @ build_aligns(pp)) if use_align else None
             k1, k2 = jax.random.split(k)
             # NOTE: fusing the smoothness-grid query into the forward's
             # encode (forward(..., smooth_pts_norm=...)) was measured
@@ -261,7 +291,8 @@ def make_ba_step(model, config: Dict, map_tx, max_kf: int, rays_per_kf: int,
             # whole chain (grid points don't depend on poses). Keep the
             # two-call form.
             ret = model.forward(mp, k1, t, rays_d, ray_data[:, 3:6],
-                                ray_data[:, 6:7], ray_mask=ray_mask)
+                                ray_data[:, 6:7], ray_mask=ray_mask,
+                                align=align_rows)
             smooth = model.smoothness(mp, k2, weights["smooth_pts"],
                                       weights["smooth_vox"],
                                       weights["smooth_margin"]) \
@@ -356,19 +387,68 @@ def make_ba_step(model, config: Dict, map_tx, max_kf: int, rays_per_kf: int,
             return (pp, pose_opt_state, mp, map_opt_state, pose_accum_grads,
                     map_accum_grads), loss
 
-        keys = jax.random.split(key, iters)
-        init = (pp, pose_opt_state, map_params, map_opt_state,
-                zero_pose_grads)
-        if not map_every_iter:
-            init = init + (
-                jax.tree_util.tree_map(jnp.zeros_like, map_params),)
-        (pp, _, map_params, map_opt_state, *_), losses = jax.lax.scan(
-            body, init, (jnp.arange(iters), keys))
+        keys = key if presplit else jax.random.split(key, n_iters)
+        if carry_in is not None:
+            init = carry_in
+        else:
+            init = (pp, pose_opt_state, map_params, map_opt_state,
+                    zero_pose_grads)
+            if not map_every_iter:
+                init = init + (
+                    jax.tree_util.tree_map(jnp.zeros_like, map_params),)
+        carry, losses = jax.lax.scan(
+            body, init, (jnp.arange(n_iters) + i0, keys))
+        if not finalize:
+            return carry, losses[-1]
+        (pp, _, map_params, map_opt_state, *_) = carry
 
         final = build_poses(pp)
         # Only report optimized poses when pose optimization actually ran.
         new_kf = jnp.where(pose_enable, final[:max_kf], kf_poses)
         new_cur = jnp.where(pose_enable & optim_cur, final[max_kf], cur_pose)
+        if use_align:
+            fa = build_aligns(pp)
+            new_kf_al = jnp.where(pose_enable, fa[:max_kf], kf_aligns)
+            new_cur_al = jnp.where(pose_enable, fa[max_kf], cur_align)
+            return (map_params, map_opt_state, new_kf, new_cur, losses[-1],
+                    new_kf_al, new_cur_al)
         return map_params, map_opt_state, new_kf, new_cur, losses[-1]
 
-    return step
+    if n_chunks <= 1:
+        return step
+
+    # Chunked dispatch: identical iteration stream (the key is pre-split
+    # exactly as the single-dispatch path splits it), carry crossing
+    # chunk boundaries as device arrays. Each dispatch covers ~iters /
+    # n_chunks iterations so concurrent work can interleave between them.
+    bounds = []
+    base = 0
+    for c in range(n_chunks):
+        clen = (iters - base) // (n_chunks - c)
+        if clen > 0:
+            bounds.append((base, clen))
+            base += clen
+
+    def run(map_params, map_opt_state, kf_rays, kf_count, kf_poses,
+            cur_pose, cur_rays, key, kf_aligns=None, cur_align=None):
+        ks = jax.random.split(key, iters)
+        carry = None
+        loss = None
+        for ci, (i0, clen) in enumerate(bounds):
+            last = ci == len(bounds) - 1
+            out = step(map_params, map_opt_state, kf_rays, kf_count,
+                       kf_poses, cur_pose, cur_rays, ks[i0:i0 + clen],
+                       kf_aligns=kf_aligns, cur_align=cur_align,
+                       carry_in=carry, i0=i0, n_iters=clen, presplit=True,
+                       finalize=last)
+            if not last:
+                carry, loss = out
+                if between is not None:
+                    # Chunks dispatch asynchronously and would sit
+                    # back-to-back in the device queue; the hook gives a
+                    # concurrent tracker a window to enqueue its step
+                    # between them (runtime/pipeline.py _ba_chunk_gap).
+                    between()
+        return out
+
+    return run

@@ -51,11 +51,16 @@ def make_map_optimizer(config: Dict) -> optax.GradientTransformation:
     return optax.multi_transform(labels_map, label_tree)
 
 
-def make_pose_optimizer(lr_rot: float, lr_trans: float
+def make_pose_optimizer(lr_rot: float, lr_trans: float,
+                        lr_align: float = None
                         ) -> optax.GradientTransformation:
-    """Adam over {'rot': ..., 'trans': ...} with per-group lrs."""
-    return optax.multi_transform(
-        {"rot": _adam_l2(lr_rot, 0.9, 0.999, 1e-8),
-         "trans": _adam_l2(lr_trans, 0.9, 0.999, 1e-8)},
-        {"rot": "rot", "trans": "trans"},
-    )
+    """Adam over {'rot': ..., 'trans': ...} with per-group lrs; an
+    'align' group (per-frame exposure parameters, ops/frame_align.py)
+    joins the BA pose optimization when lr_align is given."""
+    groups = {"rot": _adam_l2(lr_rot, 0.9, 0.999, 1e-8),
+              "trans": _adam_l2(lr_trans, 0.9, 0.999, 1e-8)}
+    labels = {"rot": "rot", "trans": "trans"}
+    if lr_align is not None:
+        groups["align"] = _adam_l2(lr_align, 0.9, 0.999, 1e-8)
+        labels["align"] = "align"
+    return optax.multi_transform(groups, labels)

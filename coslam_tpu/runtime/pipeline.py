@@ -52,6 +52,27 @@ class PipelinedCoSLAM(CoSLAM):
         self.tracker_device = self.devices[0]
         self.mapper_device = self.devices[1] if len(self.devices) > 1 \
             else self.devices[0]
+        # mapping.ba_chunks splits BA into several device dispatches so
+        # tracking steps could interleave between them. Measured on the
+        # single-chip pipeline (r4, same session, 110-frame flagship):
+        # 1 chunk p50 19.6 / p99 51.8 ms; 4 chunks p50 18.0 / p99 49.8
+        # (parity); 2 chunks + 4 ms between-chunk tracker-dispatch gaps
+        # p50 18.3 / p99 182.9 (the gaps push the mapper past its
+        # 5-frame cadence budget and the tracker hits the reference
+        # throttle). The tail is device OCCUPANCY — per 5 frames the
+        # chip runs 5 tracking steps + one ~60 ms BA with no slack to
+        # pace — so splitting cannot hide it on one chip; default stays
+        # 1 (env COSLAM_BA_CHUNKS / mapping.ba_chunks remain for
+        # dedicated-mapper-device setups where BA competes with nothing).
+        import os as _os
+        env_chunks = _os.environ.get("COSLAM_BA_CHUNKS")
+        if env_chunks is not None:
+            config["mapping"]["ba_chunks"] = int(env_chunks)
+        # Tracker-dispatch signal consumed by _ba_chunk_gap: between BA
+        # chunks the mapper yields until the tracker has enqueued its
+        # next step (or a short timeout), so that step executes between
+        # chunks instead of after the whole BA.
+        self._track_dispatch_ev = threading.Event()
         super().__init__(config, dataset)
         if self.mapper_device is not self.tracker_device:
             # Pin the mapper-owned state to its device(s) so BA,
@@ -66,6 +87,9 @@ class PipelinedCoSLAM(CoSLAM):
             self.map_opt_state = self._mapper_put(self.map_opt_state)
             self.kf_db.rays = self._mapper_put(self.kf_db.rays)
             self.kf_poses = self._mapper_put(self.kf_poses)
+            if self._use_align:
+                self.kf_aligns = self._mapper_put(self.kf_aligns)
+                self._cur_align = self._mapper_put(self._cur_align)
 
         # Shared state (single-writer flags, like the reference's
         # mapping_idx / tracking_idx / mapping_first_frame).
@@ -122,6 +146,19 @@ class PipelinedCoSLAM(CoSLAM):
         the mapper mesh when BA is sharded)."""
         return jax.device_put(x, self._mapper_target)
 
+    def _to_mapper(self, x):
+        if self.tracker_device is not self.mapper_device:
+            return self._mapper_put(x)
+        return x
+
+    def _ba_chunk_gap(self):
+        # Give the tracker a window to enqueue between BA chunks. The
+        # event is set right after each tracking dispatch; waiting on it
+        # (bounded) puts at most one tracker step between chunks without
+        # stalling BA when the tracker is idle/throttled.
+        self._track_dispatch_ev.wait(timeout=0.004)
+        self._track_dispatch_ev.clear()
+
     def _next_key(self):
         # Both threads consume the shared jax RNG stream; without the
         # guard a read-split-write interleave could hand the SAME subkey
@@ -173,6 +210,9 @@ class PipelinedCoSLAM(CoSLAM):
             self.map_opt_state = self._mapper_put(self.map_opt_state)
             self.kf_db.rays = self._mapper_put(self.kf_db.rays)
             self.kf_poses = self._mapper_put(self.kf_poses)
+            if self._use_align:
+                self.kf_aligns = self._mapper_put(self.kf_aligns)
+                self._cur_align = self._mapper_put(self._cur_align)
         return cursor
 
     # -- parameter snapshot handoff -----------------------------------------
@@ -216,10 +256,12 @@ class PipelinedCoSLAM(CoSLAM):
             # tracker device's placement. Best-effort, outputs dropped.
             try:
                 if jax.default_backend() != "cpu":
+                    al = ({"align": jnp.zeros((4,), jnp.float32)}
+                          if self._use_align else {})
                     self._track_step(
                         self._shared_params, jnp.eye(4, dtype=jnp.float32),
                         jnp.zeros((cfg["tracking"]["sample"], 7),
-                                  jnp.float32), jax.random.PRNGKey(0))
+                                  jnp.float32), jax.random.PRNGKey(0), **al)
             except Exception:
                 pass
             while not self.mapping_first_frame and not self._stop:
@@ -244,6 +286,7 @@ class PipelinedCoSLAM(CoSLAM):
                 # tracked pose stays on the device chain, the packed
                 # result rides an async d2h into the lock-guarded FIFO.
                 self.tracking_render(batch, i, params=self._shared_params)
+                self._track_dispatch_ev.set()
                 if i % map_every == 0:
                     # Only stash frames the mapper pops (map_every
                     # cadence); kf-only frames would accumulate in the

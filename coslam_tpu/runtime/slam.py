@@ -78,7 +78,11 @@ class CoSLAM:
                         for i, p in enumerate(self.dataset.poses)}
 
         self.model = self._make_model(config)
-        self.key = jax.random.PRNGKey(0)
+        # Top-level config `seed` varies every RNG stream (param init,
+        # ray draws, optimization) — the seed-replication quality
+        # protocol runs each scene at several seeds.
+        seed = int(config.get("seed", 0))
+        self.key = jax.random.PRNGKey(seed)
         self.params = self.model.init_params(self._next_key())
 
         self.map_tx = make_map_optimizer(config)
@@ -88,6 +92,15 @@ class CoSLAM:
         self.kf_db = KeyFrameDatabase(config, self.dataset.H, self.dataset.W,
                                       num_kf, self.dataset.num_rays_to_save)
         self.kf_poses = jnp.tile(jnp.eye(4), (num_kf, 1, 1)).astype(jnp.float32)
+        # Per-frame exposure alignment (training.frame_align): BA jointly
+        # optimizes per-keyframe gains+offset; tracking renders through
+        # the latest estimate (ops/frame_align.py; the reference defined
+        # the module but never wired it, optimization/frame_align.py).
+        self._use_align = bool(config["training"].get("frame_align", False))
+        if self._use_align:
+            from ..ops.frame_align import init_frame_align
+            self.kf_aligns = init_frame_align(num_kf)
+            self._cur_align = jnp.array([1.0, 1.0, 1.0, 0.0], jnp.float32)
 
         H, W = self.dataset.H, self.dataset.W
         self._track_step = make_tracking_step(self.model, config,
@@ -95,10 +108,16 @@ class CoSLAM:
         self._first_step = make_first_frame_step(self.model, config,
                                                  self.map_tx, H, W,
                                                  mesh=self.map_mesh)
+        # mapping.ba_chunks > 1 splits each BA call into that many device
+        # dispatches (identical math/RNG); the pipelined runtime defaults
+        # it on so tracking steps interleave between BA chunks.
+        ba_chunks = int(config["mapping"].get("ba_chunks", 1))
         self._ba_step = make_ba_step(self.model, config, self.map_tx,
                                      num_kf, self.kf_db.num_rays_to_save,
                                      self.kf_db.num_rays_to_save,
-                                     mesh=self.map_mesh)
+                                     mesh=self.map_mesh,
+                                     n_chunks=ba_chunks,
+                                     between=self._ba_chunk_gap)
         # Small-current-block variant: once kf_count >= sample/maxcur_small
         # the dynamic quota fits in a much smaller fixed block (halves the
         # BA ray count vs always padding to `sample`).
@@ -116,7 +135,8 @@ class CoSLAM:
         self._ba_step_small = make_ba_step(
             self.model, config, self.map_tx, num_kf,
             self.kf_db.num_rays_to_save, self.kf_db.num_rays_to_save,
-            maxcur=self._ba_maxcur_small, mesh=self.map_mesh)
+            maxcur=self._ba_maxcur_small, mesh=self.map_mesh,
+            n_chunks=ba_chunks, between=self._ba_chunk_gap)
         # Optional modes (reference coslam.py:209-249 / :415-500).
         if config["mapping"]["cur_frame_iters"] > 0:
             self._cur_map_tx = _adam_l2(config["mapping"]["lr_embed"],
@@ -127,8 +147,8 @@ class CoSLAM:
         if config["tracking"]["iter_point"] > 0:
             self._track_pc_step = make_tracking_pc_step(self.model, config,
                                                         mesh=self.track_mesh)
-        self._seed = 0
-        self._rng = np.random.default_rng(0)
+        self._seed = seed
+        self._rng = np.random.default_rng(seed)
 
         # Transfer-thin frame path (module docstring): cached device
         # direction field, per-frame device block cache, and the tiny
@@ -447,8 +467,17 @@ class CoSLAM:
         rays = batch.get("_dev_track_rays")  # staged by the prefetch worker
         if rays is None:
             rays = jnp.asarray(self._sample_tracking_rays(batch))
-        c2w_dev, loss, psnr = self._track_step(track_params, c2w_init_dev,
-                                               rays, self._next_key())
+        # The new frame's exposure parameters are jointly optimized with
+        # the pose, initialized from the latest estimate (exposure
+        # drifts as a walk; the previous estimate is the best prior).
+        if self._use_align:
+            c2w_dev, loss, psnr, new_align = self._track_step(
+                track_params, c2w_init_dev, rays, self._next_key(),
+                align=self._to_tracker(self._cur_align))
+            self._cur_align = new_align
+        else:
+            c2w_dev, loss, psnr = self._track_step(
+                track_params, c2w_init_dev, rays, self._next_key())
         # ONE packed d2h array for pose+loss+psnr+finite-flag (separate
         # fetches pay the ~20 ms tunnel RTT each); the non-finite
         # fallback to the motion-model init is a device select.
@@ -552,6 +581,18 @@ class CoSLAM:
         device so the tracker's jits never see mapper-committed arrays."""
         return x
 
+    def _to_mapper(self, x):
+        """Placement hook for tracker-committed values consumed by
+        mapper-side steps (the tracked exposure estimate feeding BA).
+        Identity here; the pipelined runtime overrides it."""
+        return x
+
+    def _ba_chunk_gap(self):
+        """Called between chunked-BA dispatches (mapping.ba_chunks > 1).
+        No-op sequentially; the pipelined runtime waits here for the
+        tracker's next dispatch so it lands between BA chunks in the
+        device queue."""
+
     def _warm_programs(self):
         """Best-effort cold-start overlap: dispatch each heavy megastep
         once on dummy inputs from a background thread so the
@@ -573,13 +614,21 @@ class CoSLAM:
             opt = self.map_opt_state
             eye = jnp.eye(4, dtype=jnp.float32)
             rays_t = jnp.zeros((cfg["tracking"]["sample"], 7), jnp.float32)
-            self._track_step(params, eye, rays_t, key)
+            if self._use_align:
+                self._track_step(params, eye, rays_t, key,
+                                 align=jnp.zeros((4,), jnp.float32))
+            else:
+                self._track_step(params, eye, rays_t, key)
             ring = jnp.zeros_like(self.kf_db.rays)
             poses = jnp.zeros_like(self.kf_poses)
             cur = jnp.zeros((self.dataset.H * self.dataset.W, 7),
                             jnp.float32)
+            al_kw = ({"kf_aligns": jnp.zeros_like(self.kf_aligns),
+                      "cur_align": jnp.zeros((4,), jnp.float32)}
+                     if self._use_align else {})
             for ba in (self._ba_step_small, self._ba_step):
-                ba(params, opt, ring, jnp.int32(2), poses, eye, cur, key)
+                ba(params, opt, ring, jnp.int32(2), poses, eye, cur, key,
+                   **al_kw)
         except Exception:
             pass  # the real calls load lazily; warmup must never fail a run
 
@@ -611,6 +660,9 @@ class CoSLAM:
         # Mirror the keyframe pose into the device pose table.
         self.kf_poses = self.kf_poses.at[slot].set(
             self._pose_dev(int(batch["frame_id"])))
+        if self._use_align:
+            # The new keyframe inherits the latest exposure estimate.
+            self.kf_aligns = self.kf_aligns.at[slot].set(self._cur_align)
 
     def current_frame_mapping(self, batch: Dict, cur_frame_id: int):
         """Per-frame map-only refinement (reference coslam.py:209-249;
@@ -659,11 +711,19 @@ class CoSLAM:
 
         ba = (self._ba_step_small if self.kf_db.count >= self._ba_small_min_kf
               else self._ba_step)
-        (self.params, self.map_opt_state, self.kf_poses, new_cur,
-         loss) = ba(
-            self.params, self.map_opt_state, self.kf_db.rays,
-            jnp.int32(self.kf_db.count), self.kf_poses, cur_pose, cur_rays,
-            self._next_key())
+        if self._use_align:
+            (self.params, self.map_opt_state, self.kf_poses, new_cur, loss,
+             self.kf_aligns, self._cur_align) = ba(
+                self.params, self.map_opt_state, self.kf_db.rays,
+                jnp.int32(self.kf_db.count), self.kf_poses, cur_pose,
+                cur_rays, self._next_key(), kf_aligns=self.kf_aligns,
+                cur_align=self._to_mapper(self._cur_align))
+        else:
+            (self.params, self.map_opt_state, self.kf_poses, new_cur,
+             loss) = ba(
+                self.params, self.map_opt_state, self.kf_db.rays,
+                jnp.int32(self.kf_db.count), self.kf_poses, cur_pose,
+                cur_rays, self._next_key())
 
         # ONE packed d2h array for (keyframe poses, current pose, loss).
         packed_dev = self._pack_ba(self.kf_poses, new_cur, loss)
@@ -823,6 +883,9 @@ class CoSLAM:
                 pickle.dumps(self._rng.bit_generator.state), np.uint8),
             "opt_state": self.map_opt_state,
         }
+        if self._use_align:
+            extra["kf_aligns"] = self.kf_aligns
+            extra["cur_align"] = self._cur_align
         if frame_cursor is not None:
             extra["frame_cursor"] = np.int64(frame_cursor)
         if async_write:
@@ -852,6 +915,9 @@ class CoSLAM:
             self.kf_db.count = int(extra["kf_count"])
             self.kf_db._wrap_ptr = int(extra["kf_wrap_ptr"])
             self.kf_poses = jnp.asarray(extra["kf_poses"])
+        if self._use_align and "kf_aligns" in extra:
+            self.kf_aligns = jnp.asarray(extra["kf_aligns"])
+            self._cur_align = jnp.asarray(extra["cur_align"])
         if "opt_state" in extra:
             self.map_opt_state = jax.tree_util.tree_map(
                 jnp.asarray, extra["opt_state"])

@@ -48,15 +48,28 @@ def make_tracking_step(model, config: Dict, mesh=None):
     use_best = bool(tcfg["best"])
     wait_iters = int(tcfg["wait_iters"])
     weights = config["training"]
+    # Robust photometric kernel (tracking.robust_delta > 0): Huber on
+    # the rgb residual. Tracking-only — the map keeps the reference MSE.
+    robust = float(tcfg.get("robust_delta", 0.0) or 0.0) or None
+    # training.frame_align: the tracker jointly optimizes the frame's 4
+    # exposure parameters (gains+offset) with the pose, initialized from
+    # the latest estimate — under exposure drift the frame's true gain is
+    # ahead of any stored estimate, so a frozen value goes stale.
+    use_align = bool(config["training"].get("frame_align", False))
+    lr_align = float(tcfg.get(
+        "lr_align", config["mapping"].get("lr_align", 0.01)))
     mat_to_tensor, mat_from_tensor = P.get_pose_representation(
         config["training"]["rot_rep"])
 
-    tx = make_pose_optimizer(tcfg["lr_rot"], tcfg["lr_trans"])
+    tx = make_pose_optimizer(tcfg["lr_rot"], tcfg["lr_trans"],
+                             lr_align if use_align else None)
 
     @jax.jit
-    def step(params, c2w_init, rays, key):
+    def step(params, c2w_init, rays, key, align=None):
         pp = {"rot": mat_to_tensor(c2w_init[:3, :3])[None],
               "trans": c2w_init[:3, 3][None]}
+        if use_align:
+            pp["align"] = align
         opt_state = tx.init(pp)
 
         dirs = maybe_shard(rays[:, :3], mesh)
@@ -72,7 +85,9 @@ def make_tracking_step(model, config: Dict, mesh=None):
             c2w = mat_from_tensor(pp["rot"], pp["trans"])[0]
             rays_d = dirs @ c2w[:3, :3].T
             rays_o = jnp.broadcast_to(c2w[:3, 3], rays_d.shape)
-            ret = model.forward(params, k, rays_o, rays_d, target_rgb, target_d)
+            ret = model.forward(params, k, rays_o, rays_d, target_rgb,
+                                target_d, align=pp.get("align"),
+                                rgb_kernel=robust)
             loss = L.total_loss(ret, weights)
             return loss, ret["psnr"]
 
@@ -108,6 +123,8 @@ def make_tracking_step(model, config: Dict, mesh=None):
 
         chosen = best_pp if use_best else last_pp
         c2w = mat_from_tensor(chosen["rot"], chosen["trans"])[0]
+        if use_align:
+            return c2w, losses[-1], psnrs[-1], chosen["align"]
         return c2w, losses[-1], psnrs[-1]
 
     return step

@@ -85,6 +85,17 @@ def main(argv=None):
                         "cm-scale plates/rod/table (the reference's "
                         "worst RGBD case), 'plain' = texture-poor room "
                         "(photometric-degenerate tracking)")
+    p.add_argument("--exposure_drift", type=float, default=0.0,
+                   help="per-frame exposure random-walk std applied to "
+                        "the rendered RGB (replica protocol only) — the "
+                        "adversarial protocol behind training.frame_align")
+    p.add_argument("--seed", type=int, default=0,
+                   help="replication seed: varies the SLAM RNG streams "
+                        "(param init, ray draws) AND the rendered "
+                        "dataset where the protocol is stochastic "
+                        "(handheld/walkthrough trajectories, sensor "
+                        "noise); the seed-replication table runs each "
+                        "scene at several seeds")
     args = p.parse_args(argv)
 
     import jax
@@ -114,15 +125,20 @@ def main(argv=None):
     # Scene/protocol-suffixed data dir so a persistent --workdir never
     # mixes renders of different scenes OR on-disk formats (the replica
     # default keeps the legacy name for cached workdirs).
-    if args.protocol == "replica" and scene_name == "room":
+    if args.protocol == "replica" and scene_name == "room" \
+            and args.seed == 0 and not args.exposure_drift:
         datadir = os.path.join(work, "scene")
         outdir = os.path.join(work, "out")
         gt_name = "gt.ply"
     else:
         suffix = f"{args.protocol}_{scene_name}"
+        if args.seed:
+            suffix += f"_s{args.seed}"
+        if args.exposure_drift:
+            suffix += f"_xd{args.exposure_drift}"
         datadir = os.path.join(work, f"scene_{suffix}")
         outdir = os.path.join(work, f"out_{suffix}")
-        gt_name = f"gt_{suffix}.ply"
+        gt_name = f"gt_{args.protocol}_{scene_name}.ply"
     if args.protocol == "tum":
         cfg = make_tum_synthetic_config(datadir, outdir,
                                         H=H, W=W, n_frames=args.frames)
@@ -173,31 +189,42 @@ def main(argv=None):
                 val = raw
         cfg.setdefault(sec, {})[key] = val
 
-    from ..data.synth import AnalyticPlainScene, AnalyticThinScene
+    from ..data.synth import (AnalyticCorridor, AnalyticPlainScene,
+                              AnalyticRoom2, AnalyticThinScene,
+                              make_corridor_trajectory)
     scene = {"room": AnalyticScene, "apartment": AnalyticApartment,
-             "thin": AnalyticThinScene,
-             "plain": AnalyticPlainScene}[scene_name]()
+             "thin": AnalyticThinScene, "plain": AnalyticPlainScene,
+             "room2": AnalyticRoom2,
+             "corridor": AnalyticCorridor}[scene_name]()
+    cfg["seed"] = args.seed
     cam = cfg["cam"]
     print(f"rendering {args.frames} frames at {H}x{W}...", flush=True)
     if args.protocol == "tum":
-        poses = make_handheld_trajectory(args.frames)
+        poses = make_handheld_trajectory(args.frames, seed=args.seed)
         write_tum_format(datadir, scene, poses, cam["H"], cam["W"],
                          cam["fx"], cam["fy"], cam["cx"], cam["cy"],
-                         png_depth_scale=cam["png_depth_scale"])
+                         png_depth_scale=cam["png_depth_scale"],
+                         seed=args.seed)
     elif args.protocol == "scannet":
-        poses = make_walkthrough_trajectory(args.frames)
+        poses = make_walkthrough_trajectory(args.frames, seed=args.seed)
         write_scannet_format(datadir, scene, poses, cam["H"], cam["W"],
                              cam["fx"], cam["fy"], cam["cx"], cam["cy"],
-                             png_depth_scale=cam["png_depth_scale"])
+                             png_depth_scale=cam["png_depth_scale"],
+                             seed=args.seed)
     elif args.protocol == "rgbd":
         poses = make_scan_trajectory(args.frames)
         write_rgbd_format(datadir, scene, poses, cam["H"], cam["W"],
                           cam["fx"], cam["fy"], cam["cx"], cam["cy"],
-                          png_depth_scale=cam["png_depth_scale"])
+                          png_depth_scale=cam["png_depth_scale"],
+                          seed=args.seed)
     else:
-        poses = make_scan_trajectory(args.frames)
+        poses = (make_corridor_trajectory(args.frames, seed=args.seed)
+                 if scene_name == "corridor"
+                 else make_scan_trajectory(args.frames))
         write_replica_format(datadir, scene, poses, cam["H"], cam["W"],
-                             cam["fx"], cam["fy"], cam["cx"], cam["cy"])
+                             cam["fx"], cam["fy"], cam["cx"], cam["cy"],
+                             exposure_drift=args.exposure_drift,
+                             exposure_seed=args.seed)
 
     # Analytic GT mesh over the scene's bound (~3.4 cm grid spacing,
     # the single-room protocol's historical 128-point resolution; the
@@ -236,6 +263,9 @@ def main(argv=None):
     res["n_samples_d"] = cfg["training"]["n_samples_d"]
     res["enc"] = cfg["grid"]["enc"]
     res["device"] = str(jax.devices()[0])
+    res["seed"] = args.seed
+    from ..data.synth import dataset_content_hash
+    res["dataset_sha1"] = dataset_content_hash(datadir)
     print(json.dumps(res, indent=2))
     if args.out:
         with open(args.out, "w") as fo:

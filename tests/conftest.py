@@ -102,6 +102,8 @@ _FAST_EXCLUDE = {
     "test_tensovm",            # ~30 s: lattice TV equivalences
     "test_synth_tum",          # ~24 s: TUM-format loader e2e
     "test_synth_scannet",      # ~22 s: ScanNet-format loader e2e
+    "test_frame_align",        # ~90 s: three short SLAM loops (A/B)
+    "test_ba_chunks",          # ~40 s: two full BA compiles
 }
 
 

@@ -1,17 +1,27 @@
-"""Multi-scene quality suite: the ≥4-scene averaged table VERDICT r2
-asked for (mirroring the reference's 8-scene Replica average,
-evaluation/README.md).
+"""Multi-scene, seed-replicated quality suite (VERDICT r3 #1 + #9).
 
-Scenes x protocols:
+Scenes x protocols (6 rows, vs the reference's 8-scene Replica average):
   room      AnalyticScene,      Replica recipe (the headline protocol)
+  room2     rearranged room,    Replica recipe (second room variant)
   plain     texture-poor room,  Replica recipe (photometric-degenerate)
+  corridor  textureless hallway, Replica recipe, corridor walk (forward-
+                                translation degenerate)
   thin      cm-scale plates,    SyntheticRGBD recipe (the reference's
                                 worst RGBD case is "thin geometry")
-  apartment two-room walkthrough, ScanNet recipe
+  apartment two-room walkthrough, ScanNet recipe (full 800f protocol)
 
-Writes results/BENCH_QUALITY_MULTI.json + .md (per-scene + mean rows).
-Run from repo root on TPU:
+Every scene runs at --seeds replication seeds (default 0,1,2): the seed
+varies the SLAM RNG streams everywhere and additionally the rendered
+data where the protocol is stochastic (handheld/walkthrough
+trajectories, sensor noise). Each per-run JSON carries a
+dataset_content_hash of the exact rendered pixels. The table reports
+mean +- half-spread ((max-min)/2) per metric; spread/mean quantifies the
+run-to-run stability VERDICT r3 flagged (3x silent ATE swings).
+
+Writes results/BENCH_QUALITY_MULTI.json + .md. Run from repo root on
+TPU:
   python tools/bench/run_quality_suite.py [--frames 300] [--workdir D]
+      [--seeds 0,1,2] [--scenes room,thin]
 """
 
 import os as _os, sys as _sys
@@ -26,13 +36,31 @@ import os
 # trajectory is mid-doorway and the map of room B barely exists.
 RUNS = [
     ("room", "replica", [], None),
+    ("room2", "replica", [], None),
     ("plain", "replica", [], None),
+    ("corridor", "replica", [], None),
     ("thin", "rgbd", [], None),
     ("apartment", "scannet", ["--hw", "480x640"], 800),
 ]
 
 METRICS = ["ate_rmse_cm", "acc_cm", "comp_cm", "comp_ratio_pct",
            "depth_l1_cm"]
+
+
+def _agg(runs):
+    """Per-metric mean / half-spread over a scene's seed replicas."""
+    out = {}
+    for m in METRICS:
+        vals = [r[m] for r in runs if m in r]
+        if not vals:
+            continue
+        mean = sum(vals) / len(vals)
+        half = (max(vals) - min(vals)) / 2.0
+        out[m] = {"mean": mean, "half_spread": half,
+                  "spread_over_mean_pct":
+                      round(100 * 2 * half / max(abs(mean), 1e-9), 1),
+                  "values": vals}
+    return out
 
 
 def main():
@@ -42,72 +70,116 @@ def main():
     p.add_argument("--workdir", default="/tmp/coslam_quality_suite")
     p.add_argument("--scenes", default=None,
                    help="comma list subset, e.g. thin,plain")
+    p.add_argument("--seeds", default="0,1,2",
+                   help="replication seeds per scene")
     args = p.parse_args()
 
     from coslam_tpu.tools.quality_bench import main as qb_main
 
     here = os.path.abspath(os.path.join(os.path.dirname(__file__),
                                         "..", ".."))
-    results = {}
+    seeds = [int(s) for s in args.seeds.split(",")]
     sel = set(args.scenes.split(",")) if args.scenes else None
     for scene, protocol, extra, frames in RUNS:
         if sel and scene not in sel:
             continue
-        out = os.path.join(args.workdir, f"result_{scene}.json")
-        print(f"=== scene {scene} ({protocol}) ===", flush=True)
-        res = qb_main(["--frames", str(frames or args.frames)]
-                      + (["--hw", args.hw] if "--hw" not in extra else [])
-                      + [
-                       "--workdir", args.workdir, "--scene", scene,
+        for seed in seeds:
+            out = os.path.join(args.workdir,
+                               f"result_{scene}_s{seed}.json")
+            if os.path.exists(out):
+                print(f"=== scene {scene} seed {seed}: cached ===",
+                      flush=True)
+                continue
+            print(f"=== scene {scene} ({protocol}) seed {seed} ===",
+                  flush=True)
+            qb_main(["--frames", str(frames or args.frames)]
+                    + (["--hw", args.hw] if "--hw" not in extra else [])
+                    + ["--workdir", args.workdir, "--scene", scene,
                        "--protocol", protocol, "--out", out,
-                       "--eval_views", "200"] + extra)
-        results[scene] = res
+                       "--eval_views", "200", "--seed", str(seed)]
+                    + extra)
 
-    # Merge with any prior per-scene results in the workdir (so the
-    # suite can run scene-by-scene across sessions).
+    # Aggregate everything present in the workdir (the suite can run
+    # scene-by-scene across sessions).
+    results = {}
     for scene, _, _, _ in RUNS:
-        f = os.path.join(args.workdir, f"result_{scene}.json")
-        if scene not in results and os.path.exists(f):
-            results[scene] = json.load(open(f))
+        runs = []
+        for seed in seeds:
+            f = os.path.join(args.workdir, f"result_{scene}_s{seed}.json")
+            if os.path.exists(f):
+                runs.append(json.load(open(f)))
+        # Legacy single-seed artifact name.
+        f0 = os.path.join(args.workdir, f"result_{scene}.json")
+        if not runs and os.path.exists(f0):
+            runs.append(json.load(open(f0)))
+        if runs:
+            results[scene] = {
+                "agg": _agg(runs), "n_runs": len(runs),
+                "seeds": [r.get("seed", 0) for r in runs],
+                "dataset_sha1": [r.get("dataset_sha1") for r in runs],
+                "n_frames": runs[0].get("n_frames"),
+                "resolution": runs[0].get("resolution"),
+            }
 
     if not results:
         return
-    mean = {m: sum(r[m] for r in results.values()) / len(results)
-            for m in METRICS if all(m in r for r in results.values())}
+    mean = {m: sum(r["agg"][m]["mean"] for r in results.values())
+            / len(results)
+            for m in METRICS
+            if all(m in r["agg"] for r in results.values())}
+    worst_spread = max((r["agg"][m]["spread_over_mean_pct"]
+                        for r in results.values()
+                        for m in ("ate_rmse_cm",) if m in r["agg"]),
+                       default=0.0)
     table = {"scenes": results, "mean": mean,
-             "n_frames": args.frames, "hw": args.hw}
+             "worst_ate_spread_over_mean_pct": worst_spread,
+             "n_frames": args.frames, "hw": args.hw,
+             "seeds": seeds}
     os.makedirs(os.path.join(here, "results"), exist_ok=True)
     with open(os.path.join(here, "results/BENCH_QUALITY_MULTI.json"),
               "w") as f:
         json.dump(table, f, indent=2)
 
     lines = [
-        "# Multi-scene quality table",
+        "# Multi-scene seed-replicated quality table",
         "",
-        f"{len(results)} analytic scenes x their matching benchmark-family "
-        "recipes (per-row frames/resolution), full Co-SLAM culling "
-        "protocol, 200 eval views. Reference anchors (its own real-data "
-        "averages): Replica 2.10/2.08 cm 93.44% 1.51 cm; SyntheticRGBD "
+        f"{len(results)} analytic scenes x their matching benchmark-"
+        f"family recipes, {len(seeds)} replication seeds each "
+        "(mean ± half-spread), full Co-SLAM culling protocol, 200 eval "
+        "views. Per-run JSONs carry a content hash of the rendered "
+        "dataset. Reference anchors (its own real-data averages): "
+        "Replica 2.10/2.08 cm 93.44% 1.51 cm; SyntheticRGBD "
         "2.95/2.96 cm 86.88% 3.02 cm; its worst RGBD case (thin "
         "geometry) 3.38/2.74 cm 86.74% 4.66 cm (BASELINE.md).",
         "",
-        "| scene | protocol | frames | res | ATE (cm) | Acc (cm) | "
-        "Comp (cm) | Ratio (%) | Depth-L1 (cm) |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| scene | protocol | frames | res | runs | ATE (cm) | Acc (cm) "
+        "| Comp (cm) | Ratio (%) | Depth-L1 (cm) |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     proto = {s: pr for s, pr, _, _ in RUNS}
+
+    def fmt(agg, m):
+        if m not in agg:
+            return "—"
+        a = agg[m]
+        return f"{a['mean']:.2f} ± {a['half_spread']:.2f}"
+
     for s, r in results.items():
+        a = r["agg"]
         lines.append(
             f"| {s} | {proto.get(s, '?')} | {r.get('n_frames', '?')} | "
-            f"{r.get('resolution', '?')} | {r['ate_rmse_cm']:.2f} | "
-            f"{r['acc_cm']:.2f} | {r['comp_cm']:.2f} | "
-            f"{r['comp_ratio_pct']:.2f} | {r['depth_l1_cm']:.2f} |")
+            f"{r.get('resolution', '?')} | {r['n_runs']} | "
+            f"{fmt(a, 'ate_rmse_cm')} | {fmt(a, 'acc_cm')} | "
+            f"{fmt(a, 'comp_cm')} | {fmt(a, 'comp_ratio_pct')} | "
+            f"{fmt(a, 'depth_l1_cm')} |")
     if mean:
         lines.append(
-            f"| **mean** | — | — | — | {mean['ate_rmse_cm']:.2f} | "
+            f"| **mean** | — | — | — | — | {mean['ate_rmse_cm']:.2f} | "
             f"{mean['acc_cm']:.2f} | {mean['comp_cm']:.2f} | "
             f"{mean['comp_ratio_pct']:.2f} | {mean['depth_l1_cm']:.2f} |")
-    lines.append("")
+    lines += ["",
+              f"Worst per-scene ATE spread/mean: {worst_spread:.1f}%.",
+              ""]
     with open(os.path.join(here, "results/BENCH_QUALITY_MULTI.md"),
               "w") as f:
         f.write("\n".join(lines))
