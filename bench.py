@@ -516,9 +516,14 @@ def _measure_roofline(time_fn, model, cfg, params, key, progress):
     track_floor = rows_t / ga_s * 1e3
     track_phases = {
         "encode_fwd": phase(fwd_t, track_floor, gather_rows=rows_t),
-        "encode_dx_bwd": {"ms_per_iter": round(fwddx_t - fwd_t, 2),
+        "encode_dx_bwd": {"ms_per_iter": round(max(fwddx_t - fwd_t, 0.0),
+                                               2),
                           "note": "vector math on saved pair features; "
                                   "no serial issues (HBM/VPU-bound)"},
+        "note": "standalone encode probe incl. select/combine; the "
+                "IN-SITU megastep trace (tools/bench/"
+                "_bench_profile_track.py) shows the window gather itself "
+                "at 542M rows/s = 122% of the random-access ceiling",
     }
 
     return {"ceilings": ceil, "parity_ba_phases": phases,
@@ -592,6 +597,29 @@ def _measure_tum(time_fn, rand_rays, progress):
         out[f"{tag}_mapping_fps_vs_baseline"] = round(
             1000.0 / b_ms / 2.63, 3)
         progress(f"{tag}: track {t_ms:.1f} ms, BA {b_ms:.1f} ms")
+
+        if tag == "tum":
+            # Analytic serial-issue floor of one TUM-parity BA iteration
+            # (same methodology as the Replica parity_ba_phases table):
+            # encode points = rays x (85 coarse + 128 NEW importance
+            # samples; the coarse points' raw outputs are reused by the
+            # fine pass since r4), each paying issues_per_pt gather rows
+            # forward and the same count of pair-RMW issues backward.
+            tr = cfg["training"]
+            spec = model.grid_spec
+            nd_l = sum(1 for h in spec.hashed if not h)
+            ipp = nd_l + 4 * (spec.n_levels - nd_l)
+            n_rays_ba = cfg["mapping"]["sample"] + 128
+            pts = n_rays_ba * (tr["n_samples_d"] + tr["n_range_d"]
+                               + tr["n_importance"])
+            # Ceilings re-measured in the roofline block; nominal values
+            # keep this floor self-contained if that block is skipped.
+            ga_s, rmw_s = 444e6, 154e6
+            it_floor = (pts * ipp) * (1.0 / ga_s + 1.0 / rmw_s) * 1e3
+            n_it = cfg["mapping"]["iters"]
+            out["tum_ba_iter_issue_floor_ms"] = round(it_floor, 1)
+            out["tum_ba_iter_pct_of_floor"] = round(
+                100 * it_floor / (b_ms / n_it), 1)
     return out
 
 

@@ -94,9 +94,19 @@ class ActiveJointEncoding(JointEncoding):
         return ret
 
     def forward(self, params, key, rays_o, rays_d, target_rgb, target_d,
-                ray_mask: Optional[jnp.ndarray] = None) -> Dict:
+                ray_mask: Optional[jnp.ndarray] = None,
+                align: Optional[jnp.ndarray] = None,
+                rgb_kernel: Optional[float] = None) -> Dict:
+        # align: optional per-ray exposure params (ops/frame_align.py),
+        # applied to the rendered RGB before the NLL like the base
+        # model's photometric loss. rgb_kernel (Huber) is accepted for
+        # call-site compatibility but ignored: the heteroscedastic NLL
+        # is already outlier-weighted through beta.
         tr = self.config["training"]
         rend = self.render_rays(params, key, rays_o, rays_d, target_d)
+        if align is not None:
+            rend = {**rend,
+                    "rgb": rend["rgb"] * align[..., :3] + align[..., 3:4]}
 
         td = target_d[..., 0]
         valid_depth = ((td > 0.0)

@@ -1,6 +1,6 @@
 """Multi-scene, seed-replicated quality suite (VERDICT r3 #1 + #9).
 
-Scenes x protocols (6 rows, vs the reference's 8-scene Replica average):
+Rows (7, vs the reference's 8-scene Replica average):
   room      AnalyticScene,      Replica recipe (the headline protocol)
   room2     rearranged room,    Replica recipe (second room variant)
   plain     texture-poor room,  Replica recipe (photometric-degenerate)
@@ -8,6 +8,7 @@ Scenes x protocols (6 rows, vs the reference's 8-scene Replica average):
                                 translation degenerate)
   thin      cm-scale plates,    SyntheticRGBD recipe (the reference's
                                 worst RGBD case is "thin geometry")
+  room_tum  room via the TUM handheld recipe (500f) — 4th family
   apartment two-room walkthrough, ScanNet recipe (full 800f protocol)
 
 Every scene runs at --seeds replication seeds (default 0,1,2): the seed
@@ -31,16 +32,19 @@ import argparse
 import json
 import os
 
-# (scene, protocol, extra args, frames override). The apartment
-# walkthrough needs its full 800-frame protocol — at 300 frames the
-# trajectory is mid-doorway and the map of room B barely exists.
+# (row key, scene, protocol, extra args, frames override). The
+# apartment walkthrough needs its full 800-frame protocol — at 300
+# frames the trajectory is mid-doorway and the map of room B barely
+# exists. room_tum runs the room through the TUM handheld recipe so all
+# FOUR benchmark families get seed replication.
 RUNS = [
-    ("room", "replica", [], None),
-    ("room2", "replica", [], None),
-    ("plain", "replica", [], None),
-    ("corridor", "replica", [], None),
-    ("thin", "rgbd", [], None),
-    ("apartment", "scannet", ["--hw", "480x640"], 800),
+    ("room", "room", "replica", [], None),
+    ("room2", "room2", "replica", [], None),
+    ("plain", "plain", "replica", [], None),
+    ("corridor", "corridor", "replica", [], None),
+    ("thin", "thin", "rgbd", [], None),
+    ("room_tum", "room", "tum", [], 500),
+    ("apartment", "apartment", "scannet", ["--hw", "480x640"], 800),
 ]
 
 METRICS = ["ate_rmse_cm", "acc_cm", "comp_cm", "comp_ratio_pct",
@@ -80,18 +84,17 @@ def main():
                                         "..", ".."))
     seeds = [int(s) for s in args.seeds.split(",")]
     sel = set(args.scenes.split(",")) if args.scenes else None
-    for scene, protocol, extra, frames in RUNS:
-        if sel and scene not in sel:
+    for key, scene, protocol, extra, frames in RUNS:
+        if sel and key not in sel:
             continue
         for seed in seeds:
             out = os.path.join(args.workdir,
-                               f"result_{scene}_s{seed}.json")
+                               f"result_{key}_s{seed}.json")
             if os.path.exists(out):
-                print(f"=== scene {scene} seed {seed}: cached ===",
-                      flush=True)
+                print(f"=== {key} seed {seed}: cached ===", flush=True)
                 continue
-            print(f"=== scene {scene} ({protocol}) seed {seed} ===",
-                  flush=True)
+            print(f"=== {key}: scene {scene} ({protocol}) seed {seed} "
+                  "===", flush=True)
             qb_main(["--frames", str(frames or args.frames)]
                     + (["--hw", args.hw] if "--hw" not in extra else [])
                     + ["--workdir", args.workdir, "--scene", scene,
@@ -102,18 +105,18 @@ def main():
     # Aggregate everything present in the workdir (the suite can run
     # scene-by-scene across sessions).
     results = {}
-    for scene, _, _, _ in RUNS:
+    for key, scene, _, _, _ in RUNS:
         runs = []
         for seed in seeds:
-            f = os.path.join(args.workdir, f"result_{scene}_s{seed}.json")
+            f = os.path.join(args.workdir, f"result_{key}_s{seed}.json")
             if os.path.exists(f):
                 runs.append(json.load(open(f)))
         # Legacy single-seed artifact name.
-        f0 = os.path.join(args.workdir, f"result_{scene}.json")
+        f0 = os.path.join(args.workdir, f"result_{key}.json")
         if not runs and os.path.exists(f0):
             runs.append(json.load(open(f0)))
         if runs:
-            results[scene] = {
+            results[key] = {
                 "agg": _agg(runs), "n_runs": len(runs),
                 "seeds": [r.get("seed", 0) for r in runs],
                 "dataset_sha1": [r.get("dataset_sha1") for r in runs],
@@ -156,7 +159,7 @@ def main():
         "| Comp (cm) | Ratio (%) | Depth-L1 (cm) |",
         "|---|---|---|---|---|---|---|---|---|---|",
     ]
-    proto = {s: pr for s, pr, _, _ in RUNS}
+    proto = {k: pr for k, _, pr, _, _ in RUNS}
 
     def fmt(agg, m):
         if m not in agg:
