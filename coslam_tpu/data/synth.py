@@ -856,7 +856,9 @@ def write_tum_format(datadir: str, scene: AnalyticScene, poses: np.ndarray,
 
     ``depth_noise`` applies :func:`add_kinect_noise` at write time with
     a per-frame seed, so rendering stays deterministic and resumable."""
-    _fresh_render_dir(datadir, poses, H, W)
+    _fresh_render_dir(datadir, poses, H, W,
+                      extra=(None if (depth_noise and seed == 0)
+                             else ("noise", depth_noise, seed)))
     import cv2
     from scipy.spatial.transform import Rotation
 
@@ -914,7 +916,9 @@ def write_scannet_format(datadir: str, scene: AnalyticScene,
     files, crop_edge intrinsics adjustment). The ScanNet sensor
     (Structure, structured light like the Kinect) gets the same noise
     model as the TUM writer; rendering is resumable like the others."""
-    _fresh_render_dir(datadir, poses, H, W)
+    _fresh_render_dir(datadir, poses, H, W,
+                      extra=(None if (depth_noise and seed == 0)
+                             else ("noise", depth_noise, seed)))
     import cv2
 
     os.makedirs(os.path.join(datadir, "color"), exist_ok=True)
@@ -961,7 +965,12 @@ def write_rgbd_format(datadir: str, scene: AnalyticScene,
     (without dropout holes: the filtered stream has none; the
     SyntheticRGBD baseline depth-L1 of 3.02 cm reflects this residual
     noise). Resumable like the other writers."""
-    _fresh_render_dir(datadir, poses, H, W)
+    # Noise parameters join the cache stamp (default keeps the legacy
+    # stamp): the scan trajectory is seed-independent, so without this a
+    # reseeded noise stream could silently reuse stale renders.
+    _fresh_render_dir(datadir, poses, H, W,
+                      extra=(None if (depth_noise and seed == 0)
+                             else ("noise", depth_noise, seed)))
     import cv2
 
     invalid = set(int(i) for i in invalid)

@@ -79,7 +79,8 @@ def main(argv=None):
                         "is noticeably view-sampling-noisy once the "
                         "unseen set is small — use >=200 for tables)")
     p.add_argument("--scene", default=None,
-                   choices=["room", "apartment", "thin", "plain"],
+                   choices=["room", "apartment", "thin", "plain",
+                            "room2", "corridor"],
                    help="analytic scene override (default: by protocol — "
                         "scannet->apartment, else room). 'thin' = "
                         "cm-scale plates/rod/table (the reference's "

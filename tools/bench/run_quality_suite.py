@@ -155,11 +155,20 @@ def main():
         "2.95/2.96 cm 86.88% 3.02 cm; its worst RGBD case (thin "
         "geometry) 3.38/2.74 cm 86.74% 4.66 cm (BASELINE.md).",
         "",
-        "| scene | protocol | frames | res | runs | ATE (cm) | Acc (cm) "
-        "| Comp (cm) | Ratio (%) | Depth-L1 (cm) |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        "Rows whose protocol renders seed-varying DATA "
+        "(tum/scannet/rgbd: per-seed trajectories and/or sensor noise) "
+        "mix content difficulty into the spread; replica rows render "
+        "identical pixels every seed, so their spread is pure SLAM "
+        "run-to-run stochasticity.",
+        "",
+        "| scene | protocol | data/seed | frames | res | runs | "
+        "ATE (cm) | Acc (cm) | Comp (cm) | Ratio (%) | Depth-L1 (cm) |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     proto = {k: pr for k, _, pr, _, _ in RUNS}
+    data_kind = {k: ("fixed" if pr == "replica" and k != "corridor"
+                     else "varies")
+                 for k, _, pr, _, _ in RUNS}
 
     def fmt(agg, m):
         if m not in agg:
@@ -170,14 +179,16 @@ def main():
     for s, r in results.items():
         a = r["agg"]
         lines.append(
-            f"| {s} | {proto.get(s, '?')} | {r.get('n_frames', '?')} | "
+            f"| {s} | {proto.get(s, '?')} | {data_kind.get(s, '?')} | "
+            f"{r.get('n_frames', '?')} | "
             f"{r.get('resolution', '?')} | {r['n_runs']} | "
             f"{fmt(a, 'ate_rmse_cm')} | {fmt(a, 'acc_cm')} | "
             f"{fmt(a, 'comp_cm')} | {fmt(a, 'comp_ratio_pct')} | "
             f"{fmt(a, 'depth_l1_cm')} |")
     if mean:
         lines.append(
-            f"| **mean** | — | — | — | — | {mean['ate_rmse_cm']:.2f} | "
+            f"| **mean** | — | — | — | — | — | "
+            f"{mean['ate_rmse_cm']:.2f} | "
             f"{mean['acc_cm']:.2f} | {mean['comp_cm']:.2f} | "
             f"{mean['comp_ratio_pct']:.2f} | {mean['depth_l1_cm']:.2f} |")
     lines += ["",
