@@ -841,11 +841,67 @@ def add_kinect_noise(depth: np.ndarray, rng: np.random.Generator,
     return np.maximum(noisy, 0.0)
 
 
+def interpolate_pose(p0: np.ndarray, p1: np.ndarray,
+                     u: float) -> np.ndarray:
+    """SE(3) screw interpolation between two c2w poses: the relative
+    delta ``p1 @ inv(p0)`` is scaled by ``u`` in its screw
+    parameterization (axis-angle rotation and translation together, the
+    same form :func:`~coslam_tpu.runtime.tracking.predict_current_pose`
+    uses for velocity rescaling). u=0 -> p0, u=1 -> p1; u outside [0,1]
+    extrapolates along the same screw."""
+    from scipy.spatial.transform import Rotation
+
+    p0 = np.asarray(p0, np.float64)
+    delta = np.asarray(p1, np.float64) @ np.linalg.inv(p0)
+    rotvec = Rotation.from_matrix(delta[:3, :3]).as_rotvec()
+    out = np.eye(4)
+    out[:3, :3] = Rotation.from_rotvec(u * rotvec).as_matrix()
+    out[:3, 3] = u * delta[:3, 3]
+    return (out @ p0).astype(np.float32)
+
+
+def make_blur_renderer(render, poses: np.ndarray, shutter: float,
+                       taps: int = 5):
+    """Wrap a bound ``render(c2w) -> (rgb, depth)`` with camera motion
+    blur: frame i's RGB becomes the average of ``taps`` renders at poses
+    screw-interpolated across a shutter window of ``shutter`` frame
+    intervals centered on pose i (offsets toward pose i-1 / i+1, clamped
+    at sequence ends). Models the rolling exposure of a handheld RGB
+    camera — the real-sensor failure mode the TUM fr1 captures exhibit
+    (fast motion + 30 Hz shutter) that the sharp sphere tracer cannot.
+
+    Depth keeps the CENTER tap only: RGB-D depth comes from a separate
+    short-pulse IR exposure (ToF / structured light) whose failure modes
+    are modeled by :func:`add_kinect_noise`, not by photometric blur.
+
+    Returns ``render2(i) -> (rgb, depth)`` indexed by frame number."""
+    n = len(poses)
+    offsets = np.linspace(-0.5, 0.5, max(int(taps), 2)) * float(shutter)
+
+    def render2(i: int):
+        center_rgb, depth = render(poses[i])
+        acc = np.zeros_like(center_rgb)
+        for u in offsets:
+            if u >= 0:
+                j = min(i + 1, n - 1)
+                sub = interpolate_pose(poses[i], poses[j],
+                                       u if j != i else 0.0)
+            else:
+                j = max(i - 1, 0)
+                sub = interpolate_pose(poses[i], poses[j],
+                                       -u if j != i else 0.0)
+            acc += render(sub)[0]
+        return acc / len(offsets), depth
+
+    return render2
+
+
 def write_tum_format(datadir: str, scene: AnalyticScene, poses: np.ndarray,
                      H: int, W: int, fx: float, fy: float, cx: float,
                      cy: float, png_depth_scale: float = 5000.0,
                      fps: float = 30.0, depth_noise: bool = True,
-                     seed: int = 0) -> None:
+                     seed: int = 0, motion_blur: float = 0.0,
+                     blur_taps: int = 5) -> None:
     """Render ``poses`` and write the TUM RGB-D on-disk layout:
     rgb/<t>.png + depth/<t>.png + rgb.txt / depth.txt / groundtruth.txt
     (reference datasets/dataset.py:601-786). Exercises the real TUM
@@ -855,10 +911,16 @@ def write_tum_format(datadir: str, scene: AnalyticScene, poses: np.ndarray,
     OpenCV convention the loader converts back from.
 
     ``depth_noise`` applies :func:`add_kinect_noise` at write time with
-    a per-frame seed, so rendering stays deterministic and resumable."""
-    _fresh_render_dir(datadir, poses, H, W,
-                      extra=(None if (depth_noise and seed == 0)
-                             else ("noise", depth_noise, seed)))
+    a per-frame seed, so rendering stays deterministic and resumable.
+    ``motion_blur`` > 0 renders each RGB frame through
+    :func:`make_blur_renderer` with that shutter fraction (depth stays
+    the sharp center tap) — the handheld fast-motion failure mode."""
+    # Default keeps the legacy stamp so existing render caches stay
+    # valid; any non-default noise/blur parameter re-renders.
+    extra = (None if (depth_noise and seed == 0 and not motion_blur)
+             else ("noise", depth_noise, seed)
+             + (("blur", motion_blur, blur_taps) if motion_blur else ()))
+    _fresh_render_dir(datadir, poses, H, W, extra=extra)
     import cv2
     from scipy.spatial.transform import Rotation
 
@@ -867,6 +929,8 @@ def write_tum_format(datadir: str, scene: AnalyticScene, poses: np.ndarray,
     os.makedirs(os.path.join(datadir, "depth"), exist_ok=True)
     render = make_renderer(scene, H, W, fx, fy, cx, cy,
                             n_frames=len(poses))
+    blurred = (make_blur_renderer(render, poses, motion_blur, blur_taps)
+               if motion_blur > 0 else None)
     rgb_lines, depth_lines, gt_lines = [], [], []
     for i, c2w in enumerate(poses):
         t_rgb = i / fps + abs(float(rng_t.normal()) * 1e-3)
@@ -877,7 +941,7 @@ def write_tum_format(datadir: str, scene: AnalyticScene, poses: np.ndarray,
         rgb_path = os.path.join(datadir, rgb_rel)
         depth_path = os.path.join(datadir, depth_rel)
         if not (os.path.exists(rgb_path) and os.path.exists(depth_path)):
-            rgb, depth = render(c2w)
+            rgb, depth = blurred(i) if blurred is not None else render(c2w)
             if depth_noise:
                 depth = add_kinect_noise(
                     depth, np.random.default_rng(seed * 100003 + i))

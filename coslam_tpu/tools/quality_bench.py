@@ -90,6 +90,11 @@ def main(argv=None):
                    help="per-frame exposure random-walk std applied to "
                         "the rendered RGB (replica protocol only) — the "
                         "adversarial protocol behind training.frame_align")
+    p.add_argument("--motion_blur", type=float, default=0.0,
+                   help="camera motion blur shutter fraction for the "
+                        "rendered RGB (tum protocol only) — the "
+                        "handheld fast-motion failure mode "
+                        "(data/synth.py make_blur_renderer)")
     p.add_argument("--seed", type=int, default=0,
                    help="replication seed: varies the SLAM RNG streams "
                         "(param init, ray draws) AND the rendered "
@@ -137,6 +142,8 @@ def main(argv=None):
             suffix += f"_s{args.seed}"
         if args.exposure_drift:
             suffix += f"_xd{args.exposure_drift}"
+        if args.motion_blur:
+            suffix += f"_mb{args.motion_blur}"
         datadir = os.path.join(work, f"scene_{suffix}")
         outdir = os.path.join(work, f"out_{suffix}")
         gt_name = f"gt_{args.protocol}_{scene_name}.ply"
@@ -205,7 +212,7 @@ def main(argv=None):
         write_tum_format(datadir, scene, poses, cam["H"], cam["W"],
                          cam["fx"], cam["fy"], cam["cx"], cam["cy"],
                          png_depth_scale=cam["png_depth_scale"],
-                         seed=args.seed)
+                         seed=args.seed, motion_blur=args.motion_blur)
     elif args.protocol == "scannet":
         poses = make_walkthrough_trajectory(args.frames, seed=args.seed)
         write_scannet_format(datadir, scene, poses, cam["H"], cam["W"],
@@ -265,6 +272,10 @@ def main(argv=None):
     res["enc"] = cfg["grid"]["enc"]
     res["device"] = str(jax.devices()[0])
     res["seed"] = args.seed
+    if args.motion_blur:
+        res["motion_blur"] = args.motion_blur
+    if args.exposure_drift:
+        res["exposure_drift"] = args.exposure_drift
     from ..data.synth import dataset_content_hash
     res["dataset_sha1"] = dataset_content_hash(datadir)
     print(json.dumps(res, indent=2))
