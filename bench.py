@@ -287,7 +287,7 @@ def main():
         print(f"roofline skipped: {e}", file=sys.stderr)
 
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
-    print(json.dumps({
+    record = {
         "metric": "tracking_fps_replica",
         "value": round(tracking_fps, 2),
         "unit": "fps",
@@ -346,7 +346,18 @@ def main():
         **wall,
         "n_params": int(n_params),
         "device": str(jax.devices()[0]),
-    }))
+    }
+    # The driver truncates this process's stdout tail at 2000 chars
+    # (BENCH_r04.json lost every parity key that way, VERDICT r4 #8) —
+    # persist the complete record as a committed artifact too.
+    try:
+        os.makedirs(os.path.join(here, "results"), exist_ok=True)
+        with open(os.path.join(here, "results", "BENCH_HEAD_R5.json"),
+                  "w") as fh:
+            json.dump(record, fh, indent=2)
+    except OSError as e:  # never fail the bench line for the side copy
+        print(f"full-record dump skipped: {e}", file=sys.stderr)
+    print(json.dumps(record))
 
 
 def _measure_roofline(time_fn, model, cfg, params, key, progress):

@@ -843,12 +843,14 @@ def add_kinect_noise(depth: np.ndarray, rng: np.random.Generator,
 
 def interpolate_pose(p0: np.ndarray, p1: np.ndarray,
                      u: float) -> np.ndarray:
-    """SE(3) screw interpolation between two c2w poses: the relative
-    delta ``p1 @ inv(p0)`` is scaled by ``u`` in its screw
-    parameterization (axis-angle rotation and translation together, the
-    same form :func:`~coslam_tpu.runtime.tracking.predict_current_pose`
-    uses for velocity rescaling). u=0 -> p0, u=1 -> p1; u outside [0,1]
-    extrapolates along the same screw."""
+    """Pose interpolation between two c2w poses: the relative delta
+    ``p1 @ inv(p0)`` is scaled by ``u`` as axis-angle rotation plus
+    LINEARLY scaled translation (the same approximation
+    :func:`~coslam_tpu.runtime.tracking.predict_current_pose` uses for
+    velocity rescaling — not the exact SE(3) screw geodesic, whose
+    V-matrix couples rotation into translation; endpoints are exact and
+    the deviation is O(angle^2) for the sub-frame deltas used here).
+    u=0 -> p0, u=1 -> p1; u outside [0,1] extrapolates."""
     from scipy.spatial.transform import Rotation
 
     p0 = np.asarray(p0, np.float64)
@@ -882,15 +884,14 @@ def make_blur_renderer(render, poses: np.ndarray, shutter: float,
         center_rgb, depth = render(poses[i])
         acc = np.zeros_like(center_rgb)
         for u in offsets:
-            if u >= 0:
-                j = min(i + 1, n - 1)
-                sub = interpolate_pose(poses[i], poses[j],
-                                       u if j != i else 0.0)
-            else:
-                j = max(i - 1, 0)
-                sub = interpolate_pose(poses[i], poses[j],
-                                       -u if j != i else 0.0)
-            acc += render(sub)[0]
+            j = (min(i + 1, n - 1)) if u >= 0 else (max(i - 1, 0))
+            if u == 0.0 or j == i:
+                # The tap pose IS the center pose (u=0 tap of odd tap
+                # counts, or a clamped sequence end) — reuse the sharp
+                # center render instead of ray-tracing it again.
+                acc += center_rgb
+                continue
+            acc += render(interpolate_pose(poses[i], poses[j], abs(u)))[0]
         return acc / len(offsets), depth
 
     return render2
@@ -1365,6 +1366,13 @@ def _base_synth_config(datadir: str, output: str, H: int, W: int,
             "lr_rot": 0.001, "lr_trans": 0.001, "ignore_edge_W": 4,
             "ignore_edge_H": 4, "iter_point": 0, "wait_iters": 100,
             "const_speed": True, "best": True,
+            # Shipped default since r5: the Huber photometric tracking
+            # kernel collapses run-to-run ATE spread (room 20%->2.5%,
+            # room2 37%->12.4% at unchanged means — BENCH_QUALITY_MULTI)
+            # and improves drifted-exposure ATE 17% (FRAME_ALIGN_AB).
+            # robust_delta=0 recovers the reference's plain MSE
+            # (model/scene_rep.py:319-326).
+            "robust_delta": 0.1,
         },
         "grid": {"enc": "HashGrid", "tcnn_encoding": True, "hash_size": 13,
                  "voxel_color": 0.08, "voxel_sdf": 0.04, "oneGrid": True},

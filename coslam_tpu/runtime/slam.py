@@ -363,12 +363,24 @@ class CoSLAM:
         return blk
 
     def _sample_tracking_rays(self, batch: Dict) -> np.ndarray:
-        """Host-side uniform pixel sampling on the edge-cropped image
+        """Host-side pixel sampling on the edge-cropped image
         (reference coslam.py:536-544); one fixed set per frame.
 
         The draw is seeded by (run seed, frame id) — deterministic and
         ORDER-INDEPENDENT, so the prefetch worker thread can stage it a
-        frame early without perturbing any other random stream."""
+        frame early without perturbing any other random stream.
+
+        With ``tracking.sample_info_frac`` > 0 the draw is
+        information-weighted: sampling probability mixes that fraction
+        of an image-gradient weight (gray + depth Sobel-style
+        magnitudes, each mean-normalized) with the uniform base. In
+        texture-poor views (corridor scene) uniform draws waste most
+        rays on blank walls whose residuals constrain neither forward
+        translation nor rotation; gradient pixels (pillar silhouettes,
+        wall/floor junctions, the beam) are where the pose Jacobian of
+        the photometric+depth residual is nonzero. frac=0 (default) is
+        bit-identical to the reference's uniform `random.sample`
+        (coslam.py:131-138); this knob EXCEEDS the reference."""
         iH = self.config["tracking"]["ignore_edge_H"]
         iW = self.config["tracking"]["ignore_edge_W"]
         S = self.config["tracking"]["sample"]
@@ -376,7 +388,13 @@ class CoSLAM:
         H, W = direction.shape[:2]
         ch, cw = H - 2 * iH, W - 2 * iW
         rng = np.random.default_rng((self._seed, int(batch["frame_id"])))
-        idx = rng.choice(ch * cw, size=S, replace=False)
+        frac = float(self.config["tracking"].get("sample_info_frac",
+                                                 0.0) or 0.0)
+        if frac > 0.0:
+            p = self._info_weights(batch, iH, iW, frac)
+            idx = rng.choice(ch * cw, size=S, replace=False, p=p)
+        else:
+            idx = rng.choice(ch * cw, size=S, replace=False)
         # Gather S pixels by (row, col) fancy indexing instead of
         # materializing edge-cropped copies of all three fields (the
         # copies cost ~3 full-image passes per frame; same elements,
@@ -398,7 +416,41 @@ class CoSLAM:
         return np.concatenate([dirs, rgb, depth],
                               axis=1).astype(np.float32)
 
-    # -- pipeline stages -------------------------------------------------------
+    def _info_weights(self, batch: Dict, iH: int, iW: int,
+                      frac: float) -> np.ndarray:
+        """Flattened sampling probabilities over the edge-cropped image:
+        ``frac`` parts gradient-weight + ``1-frac`` parts uniform.
+
+        The gradient weight is |∇gray| + |∇depth|, each normalized by
+        its own mean so the photometric and geometric edges contribute
+        on equal footing regardless of scene scale; invalid-depth
+        pixels keep only their gray term (their depth gradient is a
+        sensor artifact, not geometry)."""
+        rgb_u8 = batch.get("rgb_u8")
+        if rgb_u8 is not None and "rgb" not in batch:
+            gray = np.asarray(rgb_u8, np.float32).mean(-1) / 255.0
+        else:
+            gray = np.asarray(batch["rgb"], np.float32).mean(-1)
+        depth_raw = batch.get("depth_raw")
+        if depth_raw is not None and "depth" not in batch:
+            depth = (np.asarray(depth_raw, np.float32)
+                     / batch["depth_png_scale"] * batch["depth_sc_factor"])
+        else:
+            depth = np.asarray(batch["depth"], np.float32)
+        H, W = depth.shape
+        gray = gray[iH:H - iH, iW:W - iW]
+        depth = depth[iH:H - iH, iW:W - iW]
+        gy, gx = np.gradient(gray)
+        gg = np.hypot(gx, gy)
+        dy, dx = np.gradient(depth)
+        gd = np.hypot(dx, dy)
+        valid = depth > 0.0
+        gd = np.where(valid, gd, 0.0)
+        w = (gg / max(float(gg.mean()), 1e-12)
+             + gd / max(float(gd.mean()), 1e-12)).ravel().astype(np.float64)
+        p = frac * w / max(float(w.sum()), 1e-12)
+        p += (1.0 - frac) / p.size
+        return p / p.sum()
 
     def first_frame_mapping(self, batch: Dict) -> float:
         """Reference coslam.py:162-207."""

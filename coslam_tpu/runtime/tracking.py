@@ -51,6 +51,17 @@ def make_tracking_step(model, config: Dict, mesh=None):
     # Robust photometric kernel (tracking.robust_delta > 0): Huber on
     # the rgb residual. Tracking-only — the map keeps the reference MSE.
     robust = float(tcfg.get("robust_delta", 0.0) or 0.0) or None
+    # Constant-velocity motion prior (tracking.prior_trans/prior_rot
+    # > 0): quadratic pull of the pose tangent toward the motion-model
+    # init. In observability-degenerate views (a textureless corridor
+    # walked forward: the render loss is nearly flat along the forward
+    # axis) the prior holds the unconstrained direction at the predicted
+    # velocity instead of letting it random-walk; where the data terms
+    # have gradient they dominate (the prior is ~quadratic in a
+    # centimeter-scale deviation). No reference counterpart (its
+    # tracker is pure render loss, coslam.py:531-567) — exceeds it.
+    prior_t = float(tcfg.get("prior_trans", 0.0) or 0.0)
+    prior_r = float(tcfg.get("prior_rot", 0.0) or 0.0)
     # training.frame_align: the tracker jointly optimizes the frame's 4
     # exposure parameters (gains+offset) with the pose, initialized from
     # the latest estimate — under exposure drift the frame's true gain is
@@ -81,6 +92,11 @@ def make_tracking_step(model, config: Dict, mesh=None):
         # re-run the encoder gather in the backward pass).
         model.remat = False
 
+        # Motion-model anchor for the const-velocity prior: the tangent
+        # of the INIT pose, a trace-time constant of this step.
+        pp0_rot = jax.lax.stop_gradient(pp["rot"])
+        pp0_trans = jax.lax.stop_gradient(pp["trans"])
+
         def loss_fn(pp, k):
             c2w = mat_from_tensor(pp["rot"], pp["trans"])[0]
             rays_d = dirs @ c2w[:3, :3].T
@@ -89,6 +105,11 @@ def make_tracking_step(model, config: Dict, mesh=None):
                                 target_d, align=pp.get("align"),
                                 rgb_kernel=robust)
             loss = L.total_loss(ret, weights)
+            if prior_t > 0.0:
+                loss = loss + prior_t * jnp.sum(
+                    (pp["trans"] - pp0_trans) ** 2)
+            if prior_r > 0.0:
+                loss = loss + prior_r * jnp.sum((pp["rot"] - pp0_rot) ** 2)
             return loss, ret["psnr"]
 
         def body(carry, k):

@@ -95,6 +95,12 @@ def main(argv=None):
                         "rendered RGB (tum protocol only) — the "
                         "handheld fast-motion failure mode "
                         "(data/synth.py make_blur_renderer)")
+    p.add_argument("--tag", default=None,
+                   help="suffix appended to the SLAM output dir only "
+                        "(NOT the rendered data dir): A/B arms that "
+                        "differ only by --set overrides share one "
+                        "render cache without overwriting each other's "
+                        "meshes/checkpoints")
     p.add_argument("--seed", type=int, default=0,
                    help="replication seed: varies the SLAM RNG streams "
                         "(param init, ray draws) AND the rendered "
@@ -103,6 +109,16 @@ def main(argv=None):
                         "noise); the seed-replication table runs each "
                         "scene at several seeds")
     args = p.parse_args(argv)
+
+    # Perturbation flags are protocol-specific renders; silently
+    # accepting them elsewhere would stamp a result artifact with a
+    # perturbation that was never rendered.
+    if args.motion_blur and args.protocol != "tum":
+        p.error(f"--motion_blur only renders under --protocol tum "
+                f"(got {args.protocol})")
+    if args.exposure_drift and args.protocol != "replica":
+        p.error(f"--exposure_drift only renders under --protocol replica "
+                f"(got {args.protocol})")
 
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -134,7 +150,8 @@ def main(argv=None):
     if args.protocol == "replica" and scene_name == "room" \
             and args.seed == 0 and not args.exposure_drift:
         datadir = os.path.join(work, "scene")
-        outdir = os.path.join(work, "out")
+        outdir = os.path.join(work, "out"
+                              + (f"_{args.tag}" if args.tag else ""))
         gt_name = "gt.ply"
     else:
         suffix = f"{args.protocol}_{scene_name}"
@@ -145,7 +162,8 @@ def main(argv=None):
         if args.motion_blur:
             suffix += f"_mb{args.motion_blur}"
         datadir = os.path.join(work, f"scene_{suffix}")
-        outdir = os.path.join(work, f"out_{suffix}")
+        outdir = os.path.join(work, f"out_{suffix}"
+                              + (f"_{args.tag}" if args.tag else ""))
         gt_name = f"gt_{args.protocol}_{scene_name}.ply"
     if args.protocol == "tum":
         cfg = make_tum_synthetic_config(datadir, outdir,

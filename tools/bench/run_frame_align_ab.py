@@ -15,13 +15,17 @@ import argparse
 import json
 import os
 
+# Since r5 the Huber kernel (tracking.robust_delta 0.1) is the shipped
+# default, so the unsuffixed arms run WITH it; the +mse arm ablates it
+# back to the reference's plain MSE kernel. (The r4 artifact named the
+# huber arms explicitly; numbers are comparable by kernel, not by name.)
 ARMS = [
     ("clean", 0.0, []),
     ("drift", None, []),
     ("drift+align", None, ["--set", "training.frame_align=1"]),
-    ("drift+huber", None, ["--set", "tracking.robust_delta=0.1"]),
-    ("drift+align+huber", None, ["--set", "training.frame_align=1",
-                                 "--set", "tracking.robust_delta=0.1"]),
+    ("drift+mse", None, ["--set", "tracking.robust_delta=0.0"]),
+    ("drift+align+mse", None, ["--set", "training.frame_align=1",
+                               "--set", "tracking.robust_delta=0.0"]),
 ]
 
 METRICS = ["ate_rmse_cm", "acc_cm", "comp_cm", "comp_ratio_pct",
@@ -53,6 +57,7 @@ def main():
             ["--frames", str(args.frames), "--hw", args.hw,
              "--workdir", args.workdir, "--protocol", "replica",
              "--out", out, "--eval_views", "200",
+             "--tag", name.replace("+", "_"),
              "--exposure_drift", str(d)] + extra)
 
     table = {"arms": results, "drift": args.drift,

@@ -32,23 +32,55 @@ import argparse
 import json
 import os
 
-# (row key, scene, protocol, extra args, frames override). The
-# apartment walkthrough needs its full 800-frame protocol — at 300
+# (row key, scene, protocol, extra args, frames override, extra seeds).
+# The apartment walkthrough needs its full 800-frame protocol — at 300
 # frames the trajectory is mid-doorway and the map of room B barely
 # exists. room_tum runs the room through the TUM handheld recipe so all
-# FOUR benchmark families get seed replication.
+# FOUR benchmark families get seed replication; it renders a DIFFERENT
+# handheld trajectory per seed, so it runs 5 seeds (VERDICT r4 #7) and
+# the table reports per-seed trajectory difficulty alongside.
 RUNS = [
-    ("room", "room", "replica", [], None),
-    ("room2", "room2", "replica", [], None),
-    ("plain", "plain", "replica", [], None),
-    ("corridor", "corridor", "replica", [], None),
-    ("thin", "thin", "rgbd", [], None),
-    ("room_tum", "room", "tum", [], 500),
-    ("apartment", "apartment", "scannet", ["--hw", "480x640"], 800),
+    ("room", "room", "replica", [], None, []),
+    ("room2", "room2", "replica", [], None, []),
+    ("plain", "plain", "replica", [], None, []),
+    ("corridor", "corridor", "replica", [], None, []),
+    ("thin", "thin", "rgbd", [], None, []),
+    ("room_tum", "room", "tum", [], 500, [3, 4]),
+    ("apartment", "apartment", "scannet", ["--hw", "480x640"], 800, []),
 ]
 
 METRICS = ["ate_rmse_cm", "acc_cm", "comp_cm", "comp_ratio_pct",
-           "depth_l1_cm"]
+           "depth_l1_cm", "depth_l1_surface_cm", "rec_hole_px_pct"]
+TABLE_METRICS = METRICS[:5]
+
+
+def _traj_difficulty(protocol, scene_key, n_frames, seed):
+    """Per-seed trajectory difficulty for rows whose DATA varies with
+    the seed: path length (m) and mean angular step (deg/frame),
+    computed from the same generator the render used (VERDICT r4 #7:
+    separate content difficulty from run-to-run variance)."""
+    import numpy as np
+
+    from coslam_tpu.data.synth import (make_corridor_trajectory,
+                                       make_handheld_trajectory,
+                                       make_scan_trajectory,
+                                       make_walkthrough_trajectory)
+
+    if protocol == "tum":
+        poses = make_handheld_trajectory(n_frames, seed=seed)
+    elif protocol == "scannet":
+        poses = make_walkthrough_trajectory(n_frames, seed=seed)
+    elif scene_key == "corridor":
+        poses = make_corridor_trajectory(n_frames, seed=seed)
+    else:
+        poses = make_scan_trajectory(n_frames)
+    t = poses[:, :3, 3]
+    path_m = float(np.linalg.norm(np.diff(t, axis=0), axis=1).sum())
+    # Angular step per frame from the relative rotation's trace.
+    rel = np.einsum("nij,nkj->nik", poses[1:, :3, :3], poses[:-1, :3, :3])
+    cos = np.clip((np.trace(rel, axis1=1, axis2=2) - 1) / 2, -1, 1)
+    deg = float(np.degrees(np.arccos(cos)).mean())
+    return {"path_m": round(path_m, 2), "deg_per_frame": round(deg, 3)}
 
 
 def _agg(runs):
@@ -84,10 +116,10 @@ def main():
                                         "..", ".."))
     seeds = [int(s) for s in args.seeds.split(",")]
     sel = set(args.scenes.split(",")) if args.scenes else None
-    for key, scene, protocol, extra, frames in RUNS:
+    for key, scene, protocol, extra, frames, extra_seeds in RUNS:
         if sel and key not in sel:
             continue
-        for seed in seeds:
+        for seed in seeds + extra_seeds:
             out = os.path.join(args.workdir,
                                f"result_{key}_s{seed}.json")
             if os.path.exists(out):
@@ -105,9 +137,9 @@ def main():
     # Aggregate everything present in the workdir (the suite can run
     # scene-by-scene across sessions).
     results = {}
-    for key, scene, _, _, _ in RUNS:
+    for key, scene, protocol, _, frames, extra_seeds in RUNS:
         runs = []
-        for seed in seeds:
+        for seed in seeds + extra_seeds:
             f = os.path.join(args.workdir, f"result_{key}_s{seed}.json")
             if os.path.exists(f):
                 runs.append(json.load(open(f)))
@@ -123,6 +155,12 @@ def main():
                 "n_frames": runs[0].get("n_frames"),
                 "resolution": runs[0].get("resolution"),
             }
+            if protocol in ("tum", "scannet") or key == "corridor":
+                results[key]["per_seed_difficulty"] = {
+                    str(r.get("seed", 0)): _traj_difficulty(
+                        protocol, key, frames or args.frames,
+                        r.get("seed", 0))
+                    for r in runs}
 
     if not results:
         return
@@ -148,6 +186,8 @@ def main():
         "",
         f"{len(results)} analytic scenes x their matching benchmark-"
         f"family recipes, {len(seeds)} replication seeds each "
+        "(room_tum: 5 — its per-seed handheld trajectories differ, see "
+        "the difficulty table) "
         "(mean ± half-spread), full Co-SLAM culling protocol, 200 eval "
         "views. Per-run JSONs carry a content hash of the rendered "
         "dataset. Reference anchors (its own real-data averages): "
@@ -165,10 +205,10 @@ def main():
         "ATE (cm) | Acc (cm) | Comp (cm) | Ratio (%) | Depth-L1 (cm) |",
         "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
-    proto = {k: pr for k, _, pr, _, _ in RUNS}
+    proto = {k: pr for k, _, pr, _, _, _ in RUNS}
     data_kind = {k: ("fixed" if pr == "replica" and k != "corridor"
                      else "varies")
-                 for k, _, pr, _, _ in RUNS}
+                 for k, _, pr, _, _, _ in RUNS}
 
     def fmt(agg, m):
         if m not in agg:
@@ -194,6 +234,63 @@ def main():
     lines += ["",
               f"Worst per-scene ATE spread/mean: {worst_spread:.1f}%.",
               ""]
+
+    # Depth-L1 decomposition (VERDICT r4 #6): SURFACE error (pixels both
+    # meshes hit) vs COVERAGE error (rec-mesh holes), per scene with
+    # per-seed values, so depth-L1 seed spread is attributable.
+    if any("depth_l1_surface_cm" in r["agg"] for r in results.values()):
+        lines += [
+            "## Depth-L1 decomposition (surface vs coverage)",
+            "",
+            "`depth-L1 = surface error + holes paying the full GT "
+            "depth`. If the per-seed spread lives in the hole column, "
+            "the variance is mesh-extraction coverage, not geometry "
+            "accuracy.",
+            "",
+            "| scene | depth-L1 (cm) | surface-only (cm) | hole px % | "
+            "per-seed depth-L1 | per-seed hole % |",
+            "|---|---|---|---|---|---|",
+        ]
+        for s, r in results.items():
+            a = r["agg"]
+            if "depth_l1_surface_cm" not in a:
+                continue
+            vals = ", ".join(f"{v:.2f}"
+                             for v in a["depth_l1_cm"]["values"])
+            holes = ", ".join(f"{v:.1f}"
+                              for v in a["rec_hole_px_pct"]["values"])
+            lines.append(
+                f"| {s} | {fmt(a, 'depth_l1_cm')} | "
+                f"{fmt(a, 'depth_l1_surface_cm')} | "
+                f"{fmt(a, 'rec_hole_px_pct')} | {vals} | {holes} |")
+        lines.append("")
+
+    # Per-seed trajectory difficulty for data-varying rows (VERDICT r4
+    # #7): separates content difficulty from run variance.
+    diff_rows = {s: r["per_seed_difficulty"] for s, r in results.items()
+                 if "per_seed_difficulty" in r}
+    if diff_rows:
+        lines += [
+            "## Per-seed trajectory difficulty (data-varying rows)",
+            "",
+            "Each seed of a tum/scannet/corridor row renders a "
+            "DIFFERENT trajectory; path length and mean angular step "
+            "quantify how hard each capture is, so a hard seed reads "
+            "as content difficulty rather than run-to-run noise.",
+            "",
+            "| scene | seed | path (m) | deg/frame | ATE (cm) |",
+            "|---|---|---|---|---|",
+        ]
+        for s, d in diff_rows.items():
+            ates = {str(sd): v for sd, v in zip(
+                results[s]["seeds"],
+                results[s]["agg"]["ate_rmse_cm"]["values"])}
+            for sd, t in sorted(d.items(), key=lambda kv: int(kv[0])):
+                lines.append(
+                    f"| {s} | {sd} | {t['path_m']} | "
+                    f"{t['deg_per_frame']} | "
+                    f"{ates.get(sd, float('nan')):.2f} |")
+        lines.append("")
     with open(os.path.join(here, "results/BENCH_QUALITY_MULTI.md"),
               "w") as f:
         f.write("\n".join(lines))
