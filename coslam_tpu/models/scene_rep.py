@@ -164,6 +164,25 @@ class JointEncoding:
 
     # -- coordinate helpers --------------------------------------------------
 
+    def prepack_params(self, params: Dict) -> Dict:
+        """Pre-pack the grid's bf16 gather mirrors for a FROZEN-table
+        computation (tracking: 10 scan iterations against constant
+        params — reference coslam.py:502-594 likewise freezes the map).
+        Encoders without a frozen path (TensoVM/TriPlane/legacy
+        grad_impls, CPU) return params unchanged. Bit-identical
+        outputs; saves the per-iteration mirror rebuild XLA cannot
+        hoist out of the scan (~0.27 ms/iter at parity tracking scale,
+        r4 trace)."""
+        out = params
+        pre = getattr(self._grid_apply, "prepack", None)
+        if pre is not None:
+            out = {**out, "grid": pre(params["grid"])}
+        if not self.one_grid:
+            cpre = getattr(self._cgrid_apply, "prepack", None)
+            if cpre is not None:
+                out = {**out, "grid_color": cpre(params["grid_color"])}
+        return out
+
     def normalize_coords(self, x: jnp.ndarray) -> jnp.ndarray:
         """Metric coords -> [0,1] unit cube of the scene bounds."""
         lo = jnp.asarray(self.bounding_box[:, 0])

@@ -369,7 +369,20 @@ def _grid_apply_fn(spec: HashGridSpec, grad_impl: str = "auto"):
 
         if on_tpu:
             enc = HP.make_packed_encode(spec, jnp.bfloat16)
-            return lambda p, x: enc(p, x)
+            prepack, enc_frozen = HP.make_packed_encode_frozen(
+                spec, jnp.bfloat16)
+
+            def apply(p, x):
+                # Frozen-table fast path: a caller that never
+                # differentiates the table (tracking) pre-packs the
+                # bf16 mirrors once per megastep — see
+                # JointEncoding.prepack_params.
+                if isinstance(p, dict) and "__packed__" in p:
+                    return enc_frozen(p["__packed__"], x)
+                return enc(p, x)
+
+            apply.prepack = lambda table: {"__packed__": prepack(table)}
+            return apply
         return lambda p, x: HP.packed_encode_fwd_only(spec, p, x)
     if grad_impl == "pallas":
         from .hash_pallas import make_hashgrid_encode_pallas_bwd

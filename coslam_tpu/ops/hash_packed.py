@@ -263,6 +263,77 @@ def _gather_pairs(spec: PackedGridSpec, storage: jnp.ndarray,
     return (jnp.stack(p0).astype(dtype), jnp.stack(p1).astype(dtype))
 
 
+# Pair-select tile: rows per Pallas grid step of the fused
+# select+transpose kernel (VMEM per step: TM*16*2 B in + 2*F*TM*2 B out).
+_SEL_TILE = 2048
+
+
+def _pair_select_kernel(n_feat: int, g_ref, offs_ref, p0_ref, p1_ref):
+    """One tile: g [TM, 8F] gathered window rows (native gather layout),
+    offs [TM] -> p0/p1 [F, TM] selected pair features, TRANSPOSED.
+
+    The in-VMEM transpose happens once per tile; the 8-way z-select then
+    runs at full lane width on [TM] vectors. This replaces an XLA-chosen
+    62 MB HBM relayout copy of the whole window block (r4 trace:
+    0.67 ms/iter, `copy.1099`) with ~0 extra HBM traffic: the kernel
+    reads the gather output once and writes only the selected pairs."""
+    gt = g_ref[:].astype(jnp.float32).T        # [8F, TM]
+    o = offs_ref[:]                            # [TM] int32
+    zero = jnp.zeros_like(gt[0])
+    p0 = [zero] * n_feat
+    p1 = [zero] * n_feat
+    for k in range(_WINDOW):
+        m0 = o == k
+        m1 = o == k - 1
+        for f in range(n_feat):
+            row = gt[k * n_feat + f]
+            if k < _STRIDE:            # offs ranges 0.._STRIDE-1
+                p0[f] = p0[f] + jnp.where(m0, row, zero)
+            if k > 0:
+                p1[f] = p1[f] + jnp.where(m1, row, zero)
+    p0_ref[:] = jnp.stack(p0).astype(p0_ref.dtype)
+    p1_ref[:] = jnp.stack(p1).astype(p1_ref.dtype)
+
+
+def _gather_pairs_rows(spec: PackedGridSpec, storage: jnp.ndarray,
+                       rows: jnp.ndarray, offs: jnp.ndarray, dtype,
+                       interpret: bool = False):
+    """Row-layout gather + Pallas select (the TPU default path).
+
+    Numerically identical to :func:`_gather_pairs` (pure selection — no
+    arithmetic), but the gather output stays in its NATIVE [M, 8F] row
+    layout and the z-select+transpose runs as one Pallas pass, instead
+    of XLA relayouting the full window block to feature-major before an
+    8-way masked select (the 0.67 ms/iter `copy.1099` in the r4 parity
+    tracking trace — STATUS r4 §2)."""
+    F = spec.n_features
+    L4 = rows.shape[0] * rows.shape[1]
+    n = rows.shape[2]
+    m = L4 * n
+    m_pad = -(-m // _SEL_TILE) * _SEL_TILE
+    # storage is built as [...].T (pack_storage), so storage.T folds back
+    # to the natural [R, 8F] row table — XLA emits the same wide-row
+    # gather fusion, now without a consumer forcing a relayout.
+    g = jnp.take(storage.T, rows.reshape(-1), axis=0)       # [M, 8F]
+    o = offs.reshape(-1).astype(jnp.int32)
+    if m_pad != m:
+        g = jnp.concatenate(
+            [g, jnp.zeros((m_pad - m, g.shape[1]), g.dtype)])
+        o = jnp.concatenate([o, jnp.zeros((m_pad - m,), jnp.int32)])
+    p0, p1 = pl.pallas_call(
+        partial(_pair_select_kernel, F),
+        grid=(m_pad // _SEL_TILE,),
+        in_specs=[pl.BlockSpec((_SEL_TILE, _WINDOW * F), lambda i: (i, 0)),
+                  pl.BlockSpec((_SEL_TILE,), lambda i: (i,))],
+        out_specs=[pl.BlockSpec((F, _SEL_TILE), lambda i: (0, i)),
+                   pl.BlockSpec((F, _SEL_TILE), lambda i: (0, i))],
+        out_shape=[jax.ShapeDtypeStruct((F, m_pad), dtype)] * 2,
+        interpret=interpret,
+    )(g, o)
+    shape = (F,) + rows.shape
+    return (p0[:, :m].reshape(shape), p1[:, :m].reshape(shape))
+
+
 def _combine(p0, p1, wz, wxy):
     """(p0, p1) [F, L, 4, N], wz [L, N], wxy [L, 4, N] -> enc [N, L*F]."""
     featz = p0 * (1.0 - wz)[None, :, None] + p1 * wz[None, :, None]
@@ -591,6 +662,97 @@ def _cell_table_grad(spec: PackedGridSpec, crows: jnp.ndarray, streams,
 # The encoder: custom VJP around gather-fused forward + pair-scatter bwd
 # ---------------------------------------------------------------------------
 
+def make_packed_encode_frozen(spec: PackedGridSpec,
+                              compute_dtype=jnp.bfloat16,
+                              cell_dense: bool = True):
+    """Frozen-table encode: (prepack, encode) for callers that never
+    differentiate the TABLE — per-frame tracking, whose megastep runs
+    10 scan iterations against CONSTANT params (reference
+    coslam.py:502-594 likewise freezes the map during tracking).
+
+    The stock :func:`make_packed_encode` rebuilds the packed bf16
+    mirrors from the logical table inside every forward call; under
+    `lax.scan` XLA does not hoist that loop-invariant chain, which the
+    r4 parity-tracking trace priced at ~0.27 ms/iter (pack_storage
+    reshape/copy fusions, hash_packed.py:161-173). Here ``prepack``
+    builds the mirrors ONCE per megastep (outside the scan) and
+    ``encode(packed, x)`` reuses them; gather/select/combine and the dx
+    backward are the identical ops, so outputs are bit-equal. The
+    table cotangent is structurally zero (the caller never asks for
+    it)."""
+    nd = _n_dense(spec) if cell_dense else 0
+    nh = spec.n_levels - nd
+
+    def prepack(table):
+        packed = {}
+        if nd:
+            packed["cell"] = pack_cell_storage(spec, table, nd,
+                                               compute_dtype)
+        if nh:
+            packed["win"] = pack_storage(spec, table, compute_dtype)
+        return packed
+
+    def _forward(packed, x):
+        cell, w = _cells_and_weights(spec, x)
+        parts0, parts1 = [], []
+        if nd:
+            crows = _cell_rows(spec, cell, nd)
+            p0d, p1d = _gather_cells(spec, packed["cell"], crows, x.dtype)
+            parts0.append(p0d)
+            parts1.append(p1d)
+        if nh:
+            e = _corner_entries(spec, cell)
+            rows, offs = _rows_offs(spec, e)
+            p0h, p1h = _gather_pairs(spec, packed["win"], rows[nd:],
+                                     offs[nd:], x.dtype)
+            parts0.append(p0h)
+            parts1.append(p1h)
+        p0 = parts0[0] if len(parts0) == 1 else jnp.concatenate(parts0, 1)
+        p1 = parts1[0] if len(parts1) == 1 else jnp.concatenate(parts1, 1)
+        return _combine(p0, p1, w[:, 2], _xy_weights(w)), (p0, p1)
+
+    @jax.custom_vjp
+    def encode(packed, x):
+        return _forward(packed, x)[0]
+
+    def fwd(packed, x):
+        out, (p0, p1) = _forward(packed, x)
+        return out, (packed, x, p0.astype(compute_dtype),
+                     p1.astype(compute_dtype))
+
+    def bwd(res, g):
+        packed, x, p0c, p1c = res
+        p0 = p0c.astype(x.dtype)
+        p1 = p1c.astype(x.dtype)
+        n = x.shape[0]
+        L, F = spec.n_levels, spec.n_features
+        cell, w = _cells_and_weights(spec, x)
+        wx, wy, wz = w[:, 0], w[:, 1], w[:, 2]
+        wxy = _xy_weights(w)
+        gl = g.reshape(n, L, F).transpose(2, 1, 0)
+        featz = p0 * (1 - wz)[None, :, None] + p1 * wz[None, :, None]
+        diffz = p1 - p0
+        dwxy = jnp.sum(featz * gl[:, :, None], axis=0)
+        dwz = jnp.sum(jnp.sum(diffz * gl[:, :, None], axis=0) * wxy,
+                      axis=1)
+        dwx = (-dwxy[:, 0] * (1 - wy) - dwxy[:, 1] * wy
+               + dwxy[:, 2] * (1 - wy) + dwxy[:, 3] * wy)
+        dwy = (-dwxy[:, 0] * (1 - wx) + dwxy[:, 1] * (1 - wx)
+               - dwxy[:, 2] * wx + dwxy[:, 3] * wx)
+        res_f = jnp.array(spec.resolutions, dtype=x.dtype)[:, None]
+        dx = jnp.stack([jnp.sum(dwx * res_f, 0),
+                        jnp.sum(dwy * res_f, 0),
+                        jnp.sum(dwz * res_f, 0)], axis=-1)
+        dx = dx * ((x >= 0.0) & (x <= 1.0)).astype(x.dtype)
+        # The frozen-table caller never requests a table gradient; a
+        # structural zero keeps the vjp signature honest and is DCE'd.
+        dpacked = jax.tree_util.tree_map(jnp.zeros_like, packed)
+        return dpacked, dx
+
+    encode.defvjp(fwd, bwd)
+    return prepack, encode
+
+
 def make_packed_encode(spec: PackedGridSpec, compute_dtype=jnp.bfloat16,
                        interpret: bool = False, cell_dense: bool = True,
                        need_dx: bool = True):
@@ -628,8 +790,17 @@ def make_packed_encode(spec: PackedGridSpec, compute_dtype=jnp.bfloat16,
             storage = pack_storage(spec, table, compute_dtype)
             e = _corner_entries(spec, cell)
             rows, offs = _rows_offs(spec, e)
-            p0h, p1h = _gather_pairs(spec, storage, rows[nd:], offs[nd:],
-                                     x.dtype)
+            # COSLAM_PAIR_SELECT=pallas routes the z-select through the
+            # fused row-layout Pallas kernel (_gather_pairs_rows);
+            # default is the XLA feature-major path (measured faster in
+            # situ — see tools/bench/_bench_pair_select.py).
+            if os.environ.get("COSLAM_PAIR_SELECT") == "pallas" \
+                    and not interpret:
+                p0h, p1h = _gather_pairs_rows(spec, storage, rows[nd:],
+                                              offs[nd:], x.dtype)
+            else:
+                p0h, p1h = _gather_pairs(spec, storage, rows[nd:],
+                                         offs[nd:], x.dtype)
             e_h = e[nd:]
             parts0.append(p0h)
             parts1.append(p1h)

@@ -77,6 +77,10 @@ def make_tracking_step(model, config: Dict, mesh=None):
 
     @jax.jit
     def step(params, c2w_init, rays, key, align=None):
+        # Tracking never differentiates the map: pre-pack the grid's
+        # gather mirrors ONCE per megastep, outside the iteration scan
+        # (XLA does not hoist the loop-invariant pack chain itself).
+        params = model.prepack_params(params)
         pp = {"rot": mat_to_tensor(c2w_init[:3, :3])[None],
               "trans": c2w_init[:3, 3][None]}
         if use_align:
@@ -172,6 +176,7 @@ def make_tracking_pc_step(model, config: Dict, mesh=None):
     @jax.jit
     def step(params, c2w_init, rays, key):
         # rays: [S, 7]; rows with invalid depth are masked out of the loss.
+        params = model.prepack_params(params)
         pp = {"rot": mat_to_tensor(c2w_init[:3, :3])[None],
               "trans": c2w_init[:3, 3][None]}
         opt_state = tx.init(pp)

@@ -154,3 +154,48 @@ def test_need_dx_false_matches_and_zeroes_dx():
     np.testing.assert_allclose(d_t_nodx, d_t_full, rtol=1e-5, atol=1e-5)
     assert np.abs(d_x_full).max() > 0  # the full path has real dx
     np.testing.assert_array_equal(np.asarray(d_x_nodx), 0.0)
+
+
+@pytest.mark.parametrize("mk", [_mixed_spec, _dense_spec])
+def test_frozen_encode_matches_stock(mk):
+    """make_packed_encode_frozen (tracking's hoisted-prepack path) is
+    bit-equal to the stock encode in forward and dx; its table
+    cotangent is structurally zero."""
+    spec = mk()
+    key = jax.random.PRNGKey(8)
+    table = jax.random.normal(key, (spec.total_entries, spec.n_features))
+    x = jax.random.uniform(jax.random.PRNGKey(9), (193, 3),
+                           minval=0.05, maxval=0.95)
+    g = jax.random.normal(jax.random.PRNGKey(10), (193, spec.out_dim))
+    stock = HP.make_packed_encode(spec, compute_dtype=jnp.float32,
+                                  interpret=True, cell_dense=True)
+    prepack, frozen = HP.make_packed_encode_frozen(
+        spec, compute_dtype=jnp.float32)
+    packed = prepack(table)
+    np.testing.assert_array_equal(np.asarray(frozen(packed, x)),
+                                  np.asarray(stock(table, x)))
+    d_frozen = jax.grad(lambda z: jnp.sum(frozen(packed, z) * g))(x)
+    d_stock = jax.grad(lambda z: jnp.sum(stock(table, z) * g))(x)
+    np.testing.assert_array_equal(np.asarray(d_frozen),
+                                  np.asarray(d_stock))
+    d_packed = jax.grad(lambda p: jnp.sum(frozen(p, x) * g))(packed)
+    assert all(float(jnp.abs(v).max()) == 0.0
+               for v in jax.tree_util.tree_leaves(d_packed))
+
+
+def test_prepack_params_tracking_equivalence():
+    """JointEncoding.prepack_params + forward is bit-equal to the stock
+    forward on CPU (no-op there) and structurally safe: the tracking
+    step calls it inside jit before the scan."""
+    from coslam_tpu.data.synth import make_synthetic_config
+    from coslam_tpu.models.scene_rep import JointEncoding
+
+    cfg = make_synthetic_config("/tmp/x", "/tmp/y", H=24, W=32)
+    bb = np.array(cfg["mapping"]["bound"], np.float32)
+    model = JointEncoding(cfg, bb)
+    params = model.init_params(jax.random.PRNGKey(0))
+    pp = model.prepack_params(params)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+    a = model.query_color_sdf(params, x)
+    b = model.query_color_sdf(pp, x)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
