@@ -91,8 +91,18 @@ def run_benchmark(config: Dict, gt_mesh_path: Optional[str] = None,
                                 "virtual_cameras")
             if not _glob.glob(os.path.join(vdir, "*.txt")):
                 cam = config["cam"]
+                # Coverage from the GT trajectory, NOT the run's
+                # estimate: the virtual cameras are a fixed per-scene
+                # eval input (the reference creates them once from the
+                # GT mesh and ships them with the benchmark,
+                # evaluation/create_virtual_cameras_replica.py) — using
+                # the run's estimated poses let greedy tie-breaking
+                # amplify cm-scale pose differences into a DIFFERENT
+                # camera set per seed, folding eval-protocol variance
+                # into the seed spread of every mesh metric (r5 item 6).
+                gt_traj = [np.asarray(p) for p in slam.dataset.poses]
                 create_virtual_cameras(
-                    load_ply(gt_mesh_path), poses, vdir,
+                    load_ply(gt_mesh_path), gt_traj, vdir,
                     cam["fx"], cam["fy"], cam["cx"], cam["cy"],
                     cam["H"], cam["W"], n_candidates=64, n_select=16)
         cull_one_mesh(config, poses, rec_mesh, culled,

@@ -294,6 +294,10 @@ def main(argv=None):
         res["motion_blur"] = args.motion_blur
     if args.exposure_drift:
         res["exposure_drift"] = args.exposure_drift
+    if args.set:
+        # A/B arms differ only by these; without them the artifact
+        # cannot be told apart from a defaults run.
+        res["overrides"] = list(args.set)
     from ..data.synth import dataset_content_hash
     res["dataset_sha1"] = dataset_content_hash(datadir)
     print(json.dumps(res, indent=2))
